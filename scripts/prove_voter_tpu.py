@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Prove + verify the voter circuit end-to-end on the current JAX device.
+
+The TPU analogue of the reference's `cargo bench --bench voter_circuit`
+(voter/benches/voter_circuit.rs: witness gen + gen_proof at K=13) plus the
+self-verify from wrapper.rs:141-155.
+
+Usage: python scripts/prove_voter_tpu.py [k]
+"""
+
+import sys
+import time
+
+import numpy as np
+import jax
+
+
+def main():
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 13
+    import random
+
+    from zksnap_tpu.circuits.voter import expected_instances, voter_circuit
+    from zksnap_tpu.natives import generate_random_voter_circuit_inputs
+    from zksnap_tpu.prover.plonk import keygen, prove, verify
+    from zksnap_tpu.prover.srs import gen_srs
+    from zksnap_tpu.trace import Context, check
+
+    print(f"devices: {jax.devices()}", flush=True)
+    rng = random.Random(20260817)
+
+    t0 = time.time()
+    inp = generate_random_voter_circuit_inputs(rng)
+    ctx = Context()
+    pub = []
+    voter_circuit(ctx, inp, pub)
+    stats = check(ctx, expected_instances(inp))
+    t_wit = time.time() - t0
+    print(f"witness gen + mock check: {t_wit:.2f}s  {stats}", flush=True)
+
+    t0 = time.time()
+    srs = gen_srs(k)
+    print(f"srs(k={k}): {time.time()-t0:.1f}s", flush=True)
+
+    t0 = time.time()
+    pk = keygen(ctx, k, srs)
+    print(f"keygen: {time.time()-t0:.1f}s  "
+          f"(advice={pk.vk.n_advice} lookup={pk.vk.n_lookup} "
+          f"perm={pk.vk.n_perm} ext=2^{pk.vk.ext_log})", flush=True)
+
+    instances = [c.value for c in pub]
+    t0 = time.time()
+    proof = prove(pk, instances)
+    t_prove = time.time() - t0
+    print(f"prove: {t_prove:.1f}s ({len(proof)} proof elements)", flush=True)
+
+    t0 = time.time()
+    ok = verify(pk.vk, srs.g2, srs.tau_g2, instances, proof)
+    print(f"verify: {ok} ({time.time()-t0:.1f}s)", flush=True)
+    assert ok
+
+    # second proof with warm caches = the steady-state number
+    t0 = time.time()
+    proof2 = prove(pk, instances)
+    print(f"prove (warm): {time.time()-t0:.1f}s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -143,22 +143,31 @@ class PrimeField:
         """REDC of a redundant 32-column product (each column < 2^23).
 
         Returns canonical limbs [..., 16] < p.
-        Word-by-word Montgomery reduction: 16 sequential steps of batched
-        vector ops; accumulator columns stay < 2^24 (no uint32 overflow).
+        Word-by-word Montgomery reduction expressed as a 16-step lax.scan
+        with a SHIFTING accumulator (the head column is eliminated each
+        step, then the window slides) -- the step body is ~12 HLO ops, so
+        graphs that instantiate many multiplies stay compilable.
+        Accumulator columns stay < 2^24 (no uint32 overflow).
         """
         n0 = jnp.uint32(self.n0)
-        N = self.p_limbs  # [16]
-        T = cols
-        for i in range(N_LIMBS):
-            m = ((T[..., i] & LIMB_MASK) * n0) & LIMB_MASK
+        N = self.p_limbs  # numpy [16]
+        batch = cols.shape[:-1]
+        zero_col = jnp.zeros(batch + (1,), jnp.uint32)
+
+        def step(T, _):
+            # T: [..., 32]; eliminate column 0, slide window left
+            m = ((T[..., 0] & LIMB_MASK) * n0) & LIMB_MASK
             prod = m[..., None] * N  # [..., 16] uint32 exact
             plo = prod & LIMB_MASK
             phi = prod >> LIMB_BITS
-            T = T.at[..., i : i + N_LIMBS].add(plo)
-            T = T.at[..., i + 1 : i + N_LIMBS + 1].add(phi)
-            # column i is now == 0 mod 2^16; push its carry up
-            T = T.at[..., i + 1].add(T[..., i] >> LIMB_BITS)
-        res, carry = carry_propagate(T[..., N_LIMBS:WIDE_LIMBS])
+            T = T.at[..., 0:N_LIMBS].add(plo)
+            T = T.at[..., 1 : N_LIMBS + 1].add(phi)
+            T = T.at[..., 1].add(T[..., 0] >> LIMB_BITS)
+            T = jnp.concatenate([T[..., 1:], zero_col], axis=-1)
+            return T, None
+
+        T, _ = jax.lax.scan(step, cols, None, length=N_LIMBS)
+        res, carry = carry_propagate(T[..., : N_LIMBS])
         # result < 2p (may exceed 16 limbs only via `carry` for 256-bit p)
         ge = (carry > 0) | limbs_geq(res, self.p_limbs)
         d, _ = raw_sub(res, self.p_limbs)

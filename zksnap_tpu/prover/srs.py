@@ -1,0 +1,145 @@
+"""KZG structured reference string (dev trusted setup).
+
+Reference parity: halo2_proofs `ParamsKZG::setup` / halo2-base `gen_srs`
+(wrapper.rs:961,1001,1051).  Like the reference's dev flow, tau comes from
+a local RNG -- NOT a production ceremony (the reference's browser flow
+fetches Axiom's ceremony SRS instead, worker.js:218-224; a loader for such
+files can be added at the serialization layer).
+
+The G1 powers [tau^i]G are computed ON DEVICE: tau powers by log-doubling
+(device, log n muls) then one batched double-and-add scalar multiplication
+over all i simultaneously (254-step scan of width-n point ops) -- no host
+bignum loop, no 100MB host->device upload.  Results are cached to disk.
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..curves.jacobian import JacPoint, bn254_ops
+from ..curves.native import AffinePoint, BN254_G1, bn254_generator
+from ..fields.field import bn254_fr
+from ..poly.ntt import _powers_device
+from . import pairing as pr
+
+
+class SRS:
+    """[tau^i]G1 and [L_i(tau)]G1 for i < n (device) + [tau]G2 (host).
+
+    The Lagrange-basis powers let evaluation-form polynomials commit
+    without an iNTT (halo2's `ParamsKZG::{g, g_lagrange}` split)."""
+
+    def __init__(self, k: int, g1_powers: JacPoint, g1_lagrange: JacPoint,
+                 tau_g2, g2):
+        self.k = k
+        self.n = 1 << k
+        self.g1 = g1_powers          # JacPoint [n], monomial basis
+        self.g1_lagrange = g1_lagrange  # JacPoint [n], Lagrange basis
+        self.tau_g2 = tau_g2         # twist point (Fq2 pair)
+        self.g2 = g2
+
+
+def _tau_from_seed(seed: bytes) -> int:
+    return int.from_bytes(hashlib.sha512(b"zksnap-tpu-srs" + seed).digest(),
+                          "big") % BN254_G1.n
+
+
+@functools.lru_cache(maxsize=8)
+def gen_srs(k: int, seed: bytes = b"dev") -> SRS:
+    """Dev SRS for domain size 2^k (cached on disk under build/)."""
+    F = bn254_fr()
+    ops = bn254_ops()
+    n = 1 << k
+    tau = _tau_from_seed(seed)
+
+    cache = os.path.join(os.path.dirname(__file__), "..", "..", "build",
+                         f"srs_{k}_{hashlib.sha256(seed).hexdigest()[:8]}.npz")
+    cache = os.path.abspath(cache)
+    if os.path.exists(cache):
+        d = np.load(cache)
+        g1 = JacPoint(jnp.asarray(d["x"]), jnp.asarray(d["y"]),
+                      jnp.asarray(d["z"]))
+        g1_lag = JacPoint(jnp.asarray(d["lx"]), jnp.asarray(d["ly"]),
+                          jnp.asarray(d["lz"]))
+    else:
+        nbits = 254
+        g = ops.generator((n,))
+
+        @jax.jit
+        def make_bits(c):
+            idx = jnp.arange(nbits - 1, -1, -1)
+            limb = idx // 16
+            off = idx % 16
+            return ((c[:, limb] >> off) & 1).astype(jnp.uint32)
+
+        @jax.jit
+        def batched_mul(bits):
+            return ops.scalar_mul(g, bits)
+
+        from ..fields.common import ints_to_limbs
+
+        def powers_to_points(scalars_int: list[int]) -> JacPoint:
+            arr = jnp.asarray(ints_to_limbs(scalars_int))  # canonical limbs
+            return batched_mul(make_bits(arr))
+
+        # monomial powers tau^i (host: n small muls)
+        taus = [1] * n
+        for i in range(1, n):
+            taus[i] = taus[i - 1] * tau % F.p
+        g1 = powers_to_points(taus)
+
+        # Lagrange scalars: L_i(tau) = w^i (tau^n - 1) / (n (tau - w^i))
+        from ..poly.domain import domain as _domain
+
+        dom = _domain(k)
+        w = [1] * n
+        for i in range(1, n):
+            w[i] = w[i - 1] * dom.omega % F.p
+        zn = (pow(tau, n, F.p) - 1) % F.p
+        n_inv = pow(n, -1, F.p)
+        denoms = [(tau - w[i]) % F.p for i in range(n)]
+        # batch inversion
+        pref = [1]
+        for d_ in denoms:
+            pref.append(pref[-1] * d_ % F.p)
+        inv_tot = pow(pref[-1], -1, F.p)
+        invs = [0] * n
+        for i in range(n - 1, -1, -1):
+            invs[i] = pref[i] * inv_tot % F.p
+            inv_tot = inv_tot * denoms[i] % F.p
+        lags = [w[i] * zn % F.p * n_inv % F.p * invs[i] % F.p for i in range(n)]
+        g1_lag = powers_to_points(lags)
+
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        np.savez(
+            cache,
+            x=np.asarray(jax.device_get(g1.x)),
+            y=np.asarray(jax.device_get(g1.y)),
+            z=np.asarray(jax.device_get(g1.z)),
+            lx=np.asarray(jax.device_get(g1_lag.x)),
+            ly=np.asarray(jax.device_get(g1_lag.y)),
+            lz=np.asarray(jax.device_get(g1_lag.z)),
+        )
+
+    tau_g2 = pr.g2_mul(pr.G2_GEN, tau)
+    return SRS(k, g1, g1_lag, tau_g2, pr.G2_GEN)
+
+
+def srs_sanity_check(srs: SRS) -> bool:
+    """e([tau]G1, G2) == e(G1, [tau]G2)."""
+    ops = bn254_ops()
+    pts = ops.to_affine_host(
+        JacPoint(srs.g1.x[:2], srs.g1.y[:2], srs.g1.z[:2]))
+    g1_0, g1_tau = pts
+    if g1_0 != bn254_generator():
+        return False
+    return pr.pairing_check([
+        (g1_tau, srs.g2),
+        (-g1_0, srs.tau_g2),
+    ])
