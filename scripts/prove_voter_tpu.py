@@ -8,8 +8,11 @@ self-verify from wrapper.rs:141-155.
 Usage: python scripts/prove_voter_tpu.py [k]
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 import jax

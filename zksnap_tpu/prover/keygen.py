@@ -28,6 +28,7 @@ from ..trace.context import Context
 
 FR = bn254_fr()
 ZK_ROWS = 8
+PERM_CHUNK = 2  # columns per permutation grand-product poly (degree 4 constraint)
 PERM_COLS_NAME = ("advice", "lookup", "const", "instance")
 
 
@@ -44,6 +45,7 @@ class Layout:
     # columns as python-int lists (host); device export happens in the prover
     advice_cols: list[list[int]]
     q_cols: list[list[int]]
+    active_col: list[int]
     const_col: list[int]
     lookup_cols: list[list[int]]
     table_col: list[int]
@@ -144,6 +146,10 @@ def layout_circuit(ctx: Context, k: int) -> Layout:
 
     # --- instance column ----------------------------------------------------
     instance_col = [c.value for c in ctx.instance] + [0] * (n - len(ctx.instance))
+    assert len(ctx.instance) <= usable
+
+    # --- permutation active-rows selector (rows < usable) -------------------
+    active_col = [1] * usable + [0] * (n - usable)
 
     # --- permutation cycles -------------------------------------------------
     # involved columns in order: advice..., lookup..., const, instance
@@ -202,7 +208,8 @@ def layout_circuit(ctx: Context, k: int) -> Layout:
     return Layout(
         k=k, n=n, usable=usable, n_advice=n_advice, n_lookup=n_lookup,
         lookup_bits=lookup_bits, col_starts=col_starts, cell_map=cell_map,
-        advice_cols=advice_cols, q_cols=q_cols, const_col=const_col,
+        advice_cols=advice_cols, q_cols=q_cols, active_col=active_col,
+        const_col=const_col,
         lookup_cols=lookup_cols, table_col=table_col,
         instance_col=instance_col, multiplicity=multiplicity,
         perm_columns=perm_columns, sigma=sigma, deltas=deltas,

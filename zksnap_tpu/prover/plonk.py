@@ -1,26 +1,27 @@
 """PLONK prover/verifier over KZG (the halo2_proofs `create_proof` /
 `verify_proof` equivalent -- SURVEY.md section 3.2 hot path).
 
-Protocol (one phase, vertical flex gate, logUp lookups, single grand
-product for copies, GWC multiopen):
+Protocol (one phase, vertical flex gate, logUp lookups, halo2-style
+chunked permutation grand products, GWC multiopen):
 
   commit advice + lookup columns + logUp multiplicities
   -> challenges beta_lk, beta, gamma
-  -> compute + commit logUp helper h and permutation grand product Z
+  -> compute + commit logUp helper h and permutation grand products Z_c
+     (chunks of PERM_CHUNK=2 columns, chained halo2-style through an
+     omega^usable rotation so every constraint stays degree <= 4 and the
+     extended domain is only 4x)
   -> challenge y; quotient t on the extended coset domain (device NTTs);
      commit t chunks
   -> challenge x; batched barycentric evals of every queried poly
-  -> challenges v, u; GWC opening witnesses W_p for p in {x, wx, w2x, w3x}
-     computed pointwise on the domain (no synthetic division), committed
-     via Lagrange-basis MSM
+  -> challenges v, u; GWC opening witnesses W_p for p in
+     {x, wx, w2x, w3x, wux} computed pointwise on the domain (no synthetic
+     division), committed via Lagrange-basis MSM
   -> verifier replays the transcript, checks the combined identity at x
      and one pairing.
 
 Deviation notes vs halo2 (capability-equivalent, TPU-motivated):
   * lookup argument is logUp (log-derivative) instead of halo2's
     permuted-column lookup -- fewer committed polys, no sorting;
-  * single permutation grand product (degree grows with column count;
-    extended domain factor covers it) instead of chunked Z's;
   * zero-knowledge blinding rows are reserved (ZK_ROWS) but blinding
     randomness is not yet sampled -- proofs are succinct arguments, not
     yet zero-knowledge.
@@ -40,14 +41,16 @@ from ..curves.native import AffinePoint, BN254_G1
 from ..fields.field import bn254_fr
 from ..trace.context import Context
 from . import pairing as pr
-from .keygen import Layout, layout_circuit, ZK_ROWS
+from .keygen import Layout, layout_circuit, PERM_CHUNK, ZK_ROWS
 from .poly_device import (
     batch_eval,
+    coeffs_to_evals,
     commit_evals,
     coset_extended_evals,
     coset_interpolate,
     mont_to_canonical,
     opening_witness_evals,
+    rlc,
     to_device_poly,
 )
 from .srs import SRS, gen_srs
@@ -55,6 +58,7 @@ from .transcript import Transcript
 
 FR = bn254_fr()
 P = FR.p
+POINT_NAMES = ("x", "wx", "w2x", "w3x", "wux")
 
 
 def _batch_inv(xs: list[int]) -> list[int]:
@@ -78,9 +82,11 @@ class VerifyingKey:
     n_lookup: int
     lookup_bits: int
     n_perm: int
+    n_z: int
+    usable: int
     deltas: list[int]
     num_instance: int
-    commitments: dict  # name -> AffinePoint (fixed/sigma columns)
+    commitments: dict  # name -> AffinePoint (fixed/sigma/active columns)
     omega: int
 
 
@@ -115,10 +121,10 @@ def keygen(ctx: Context, k: int, srs: SRS | None = None) -> ProvingKey:
     layout = layout_circuit(ctx, k)
     srs = srs or gen_srs(k)
     n_perm = len(layout.perm_columns)
-    # extended factor must cover max constraint degree:
-    max_deg = max(3, layout.n_lookup + 2, n_perm + 1)
+    n_z = -(-n_perm // PERM_CHUNK)
+    assert layout.n_lookup <= 2, "logUp constraint degree budget"
+    max_deg = max(3, layout.n_lookup + 2, PERM_CHUNK + 2)
     ext_log = max(2, (max_deg - 1).bit_length())
-    assert (1 << ext_log) >= max_deg
 
     sigmas = _sigma_values(layout)
     fixed_host = {}
@@ -126,6 +132,7 @@ def keygen(ctx: Context, k: int, srs: SRS | None = None) -> ProvingKey:
         fixed_host[f"q_{i}"] = q
     fixed_host["const"] = layout.const_col
     fixed_host["table"] = layout.table_col
+    fixed_host["active"] = layout.active_col
     for j, s in enumerate(sigmas):
         fixed_host[f"sigma_{j}"] = s
 
@@ -141,7 +148,8 @@ def keygen(ctx: Context, k: int, srs: SRS | None = None) -> ProvingKey:
     vk = VerifyingKey(
         k=k, ext_log=ext_log, n_advice=layout.n_advice,
         n_lookup=layout.n_lookup, lookup_bits=layout.lookup_bits,
-        n_perm=n_perm, deltas=layout.deltas,
+        n_perm=n_perm, n_z=n_z, usable=layout.usable,
+        deltas=layout.deltas,
         num_instance=len(layout.instance_col),
         commitments=commitments, omega=domain(k).omega,
     )
@@ -158,12 +166,11 @@ def prove(pk: ProvingKey, instances: list[int]) -> list:
     ops = bn254_ops()
     from ..poly.domain import domain
 
-    dom = domain(k)
-    omega = dom.omega
+    omega = domain(k).omega
 
     tr = Transcript()
     for v in instances:
-        tr.write_scalar(v)  # also binds instances into Fiat-Shamir
+        tr.write_scalar(v)  # binds instances into Fiat-Shamir
 
     # -- round 1: commit witness columns ------------------------------------
     advice_dev = [to_device_poly(c) for c in layout.advice_cols]
@@ -185,12 +192,14 @@ def prove(pk: ProvingKey, instances: list[int]) -> list:
     beta = tr.challenge()
     gamma = tr.challenge()
 
-    # -- round 2: logUp helper h + permutation grand product Z (host) -------
-    h_vals, z_vals = _compute_h_z(layout, beta_lk, beta, gamma, omega)
+    # -- round 2: logUp helper h + chunked grand products -------------------
+    h_vals = _compute_h(layout, beta_lk)
+    z_chunks = _compute_z_chunks(layout, beta, gamma, omega)
     h_dev = to_device_poly(h_vals)
-    z_dev = to_device_poly(z_vals)
+    z_devs = [to_device_poly(z) for z in z_chunks]
     tr.write_point(commit(h_dev))
-    tr.write_point(commit(z_dev))
+    for zd in z_devs:
+        tr.write_point(commit(zd))
 
     y = tr.challenge()
 
@@ -198,7 +207,8 @@ def prove(pk: ProvingKey, instances: list[int]) -> list:
     polys_dev = {
         **{f"advice_{i}": d for i, d in enumerate(advice_dev)},
         **{f"lookup_{i}": d for i, d in enumerate(lookup_dev)},
-        "m": m_dev, "h": h_dev, "z": z_dev, "instance": inst_dev,
+        **{f"z_{c}": d for c, d in enumerate(z_devs)},
+        "m": m_dev, "h": h_dev, "instance": inst_dev,
         **pk.fixed_dev,
     }
     t_chunks_dev = _quotient(pk, polys_dev, beta_lk, beta, gamma, y)
@@ -209,9 +219,7 @@ def prove(pk: ProvingKey, instances: list[int]) -> list:
     assert pow(x, n, P) != 1, "challenge landed in the domain (negligible)"
 
     # -- round 4: evaluations -------------------------------------------------
-    eval_points = {"x": x, "wx": x * omega % P,
-                   "w2x": x * omega * omega % P,
-                   "w3x": x * pow(omega, 3, P) % P}
+    eval_points = _eval_points(x, omega, pk.vk.usable)
     queries = _query_plan(pk.vk, len(t_chunks_dev))
 
     all_polys = dict(polys_dev)
@@ -222,15 +230,13 @@ def prove(pk: ProvingKey, instances: list[int]) -> list:
     stacked = jnp.stack([all_polys[nm] for nm in stacked_names])
 
     evals = {}
-    for pt_name, pt_val in eval_points.items():
-        needed = [nm for nm in stacked_names
-                  if (nm, pt_name) in queries or pt_name == "x"]
-        vals = batch_eval(stacked, pt_val, k)
+    for pt_name in POINT_NAMES:
+        if not any(pt == pt_name for _, pt in queries):
+            continue
+        vals = batch_eval(stacked, eval_points[pt_name], k)
         for nm, v in zip(stacked_names, vals):
             evals[(nm, pt_name)] = v
 
-    # write only the queried evals, in canonical order (skip instance: the
-    # verifier computes instance evals itself)
     for nm, pt in sorted(queries):
         if nm == "instance":
             continue
@@ -244,17 +250,13 @@ def prove(pk: ProvingKey, instances: list[int]) -> list:
     for nm, pt in sorted(queries):
         by_point.setdefault(pt, []).append(nm)
 
-    for pt_name in ("x", "wx", "w2x", "w3x"):
+    for pt_name in POINT_NAMES:
         names = by_point.get(pt_name, [])
         if not names:
             continue
-        # combined = sum v^i f_i ; combined_eval = sum v^i f_i(p)
         coef = 1
-        comb = None
-        comb_eval = 0
-        from .poly_device import rlc
-
         coefs = []
+        comb_eval = 0
         for nm in names:
             coefs.append(coef)
             comb_eval = (comb_eval + coef * evals[(nm, pt_name)]) % P
@@ -265,6 +267,16 @@ def prove(pk: ProvingKey, instances: list[int]) -> list:
         tr.write_point(commit(w_dev))
 
     return tr.proof()
+
+
+def _eval_points(x: int, omega: int, usable: int) -> dict:
+    return {
+        "x": x,
+        "wx": x * omega % P,
+        "w2x": x * pow(omega, 2, P) % P,
+        "w3x": x * pow(omega, 3, P) % P,
+        "wux": x * pow(omega, usable, P) % P,
+    }
 
 
 def _query_plan(vk: VerifyingKey, n_t_chunks: int):
@@ -278,11 +290,15 @@ def _query_plan(vk: VerifyingKey, n_t_chunks: int):
         q.add((f"lookup_{i}", "x"))
     q.add(("const", "x"))
     q.add(("table", "x"))
+    q.add(("active", "x"))
     q.add(("m", "x"))
     q.add(("h", "x"))
     q.add(("h", "wx"))
-    q.add(("z", "x"))
-    q.add(("z", "wx"))
+    for c in range(vk.n_z):
+        q.add((f"z_{c}", "x"))
+        q.add((f"z_{c}", "wx"))
+        if c < vk.n_z - 1:
+            q.add((f"z_{c}", "wux"))
     for j in range(vk.n_perm):
         q.add((f"sigma_{j}", "x"))
     for i in range(n_t_chunks):
@@ -291,11 +307,9 @@ def _query_plan(vk: VerifyingKey, n_t_chunks: int):
     return q
 
 
-def _compute_h_z(layout: Layout, beta_lk: int, beta: int, gamma: int,
-                 omega: int):
-    """Host-exact computation of the logUp helper and the grand product."""
+def _compute_h(layout: Layout, beta_lk: int) -> list[int]:
+    """logUp helper: h[i+1] = h[i] + sum_j 1/(b+L_j[i]) - m[i]/(b+T[i])."""
     n = layout.n
-    # logUp: h[i+1] = h[i] + sum_j 1/(b+L_j[i]) - m[i]/(b+T[i])
     denoms = []
     for col in layout.lookup_cols:
         denoms.extend((beta_lk + v) % P for v in col)
@@ -311,31 +325,56 @@ def _compute_h_z(layout: Layout, beta_lk: int, beta: int, gamma: int,
     for i in range(n - 1):
         step = sum(li[i] for li in l_invs) - layout.multiplicity[i] * t_invs[i]
         h[i + 1] = (h[i] + step) % P
-    # telescoping must close
     last = (h[n - 1] + sum(li[n - 1] for li in l_invs)
             - layout.multiplicity[n - 1] * t_invs[n - 1]) % P
     assert last == h[0] == 0, "logUp multiplicity mismatch"
+    return h
 
-    # permutation grand product
+
+def _perm_chunks(n_perm: int) -> list[list[int]]:
+    return [list(range(c, min(c + PERM_CHUNK, n_perm)))
+            for c in range(0, n_perm, PERM_CHUNK)]
+
+
+def _compute_z_chunks(layout: Layout, beta: int, gamma: int,
+                      omega: int) -> list[list[int]]:
+    """Chained grand products, one per PERM_CHUNK columns, rows < usable."""
+    n, u = layout.n, layout.usable
     cols = _perm_value_columns(layout)
     sigmas = _sigma_values(layout)
     omega_pows = [1] * n
     for i in range(1, n):
         omega_pows[i] = omega_pows[i - 1] * omega % P
-    nums = [1] * n
-    dens = [1] * n
-    for j, col in enumerate(cols):
-        dj = layout.deltas[j]
-        for i in range(n):
-            nums[i] = nums[i] * ((col[i] + beta * dj * omega_pows[i] + gamma) % P) % P
-            dens[i] = dens[i] * ((col[i] + beta * sigmas[j][i] + gamma) % P) % P
-    den_invs = _batch_inv(dens)
-    z = [1] * n
-    for i in range(n - 1):
-        z[i + 1] = z[i] * nums[i] % P * den_invs[i] % P
-    assert z[n - 1] * nums[n - 1] % P * den_invs[n - 1] % P == 1, \
-        "permutation product does not close"
-    return h, z
+
+    chunks = _perm_chunks(len(layout.perm_columns))
+    z_list = []
+    carry = 1
+    all_dens = []
+    for chunk in chunks:
+        for i in range(u):
+            d = 1
+            for j in chunk:
+                d = d * ((cols[j][i] + beta * sigmas[j][i] + gamma) % P) % P
+            all_dens.append(d)
+    den_invs = _batch_inv(all_dens)
+    pos = 0
+    for chunk in chunks:
+        z = [0] * n
+        z[0] = carry
+        for i in range(u):
+            num = 1
+            for j in chunk:
+                num = num * ((cols[j][i]
+                              + beta * layout.deltas[j] % P * omega_pows[i]
+                              + gamma) % P) % P
+            z[i + 1] = z[i] * num % P * den_invs[pos] % P
+            pos += 1
+        for i in range(u + 1, n):
+            z[i] = z[u]
+        carry = z[u]
+        z_list.append(z)
+    assert carry == 1, "chained permutation product does not close"
+    return z_list
 
 
 def _perm_value_columns(layout: Layout) -> list[list[int]]:
@@ -365,56 +404,50 @@ def _quotient(pk: ProvingKey, polys_dev: dict, beta_lk, beta, gamma, y):
 
     ext = {nm: coset_extended_evals(d, k, e_log) for nm, d in polys_dev.items()}
 
-    # host-precomputed ext-domain structure vectors
     from ..poly.domain import domain
     from ..fields.common import ints_to_limbs
 
     dome = domain(k + e_log)
     g = FR.generator
-    # X values on coset: g * w_e^i  -> only needed times beta*delta_j; and
-    # Z_H(X) = g^n w_e^{ni} - 1 (period E), l_0(X) = (X^n-1)/(n(X-1))
     x_vals = [g * pow(dome.omega, i, P) % P for i in range(ne)]
     zh = [(pow(g, n, P) * pow(dome.omega, (n * i) % ne, P) - 1) % P
           for i in range(E)]
-    zh_full = [zh[i % E] for i in range(ne)]
     zh_inv = _batch_inv(zh)
     zh_inv_full = [zh_inv[i % E] for i in range(ne)]
-    l0 = [zh_full[i] * pow(n * (x_vals[i] - 1) % P, -1, P) % P for i in range(ne)]
+    zh_full = [zh[i % E] for i in range(ne)]
+    u = vk.usable
+    l0_den = _batch_inv([n * (x_vals[i] - 1) % P for i in range(ne)])
+    l0 = [zh_full[i] * l0_den[i] % P for i in range(ne)]
+    wu = pow(vk.omega, u, P)
+    lu_den = _batch_inv([n * (x_vals[i] - wu) % P for i in range(ne)])
+    lu = [wu * zh_full[i] % P * lu_den[i] % P for i in range(ne)]
 
     def md(vals):
         return jnp.asarray(ints_to_limbs([v % P * FR.R % P for v in vals]))
 
-    x_dev, l0_dev, zhinv_dev = md(x_vals), md(l0), md(zh_inv_full)
+    x_dev, l0_dev, lu_dev, zhinv_dev = md(x_vals), md(l0), md(lu), md(zh_inv_full)
 
-    names = sorted(ext.keys())
+    names = tuple(sorted(ext.keys()))
     stacked = jnp.stack([ext[nm] for nm in names])
-    idx = {nm: i for i, nm in enumerate(names)}
-
-    consts = {
-        "beta_lk": beta_lk, "beta": beta, "gamma": gamma, "y": y,
-    }
 
     fn = _quotient_kernel(k, e_log, vk.n_advice, vk.n_lookup, vk.n_perm,
-                          tuple(vk.deltas), tuple(sorted(ext.keys())))
-    t_ext = fn(stacked, x_dev, l0_dev, zhinv_dev,
-               *[jnp.asarray(FR.const(consts[c]))
-                 for c in ("beta_lk", "beta", "gamma", "y")])
+                         vk.usable, tuple(vk.deltas), names)
+    consts = (beta_lk, beta, gamma, y)
+    t_ext = fn(stacked, x_dev, l0_dev, lu_dev, zhinv_dev,
+               *[jnp.asarray(FR.const(c)) for c in consts])
 
     coeffs = coset_interpolate(t_ext, k, e_log)
-    # split into E chunks of n coefficients, return each in EVALUATION form
-    # on H so chunks commit/evaluate/open uniformly with every other poly
-    from .poly_device import coeffs_to_evals
-
     return [coeffs_to_evals(coeffs[i * n : (i + 1) * n], k) for i in range(E)]
 
 
 @functools.lru_cache(maxsize=16)
-def _quotient_kernel(k, e_log, n_advice, n_lookup, n_perm, deltas, names):
+def _quotient_kernel(k, e_log, n_advice, n_lookup, n_perm, usable, deltas,
+                     names):
     idx = {nm: i for i, nm in enumerate(names)}
     E = 1 << e_log
     one_np = np.asarray(FR.one)
-
-    # perm column order must match keygen.perm_columns
+    chunks = _perm_chunks(n_perm)
+    n_z = len(chunks)
     perm_names = ([f"advice_{c}" for c in range(n_advice)]
                   + [f"lookup_{c}" for c in range(n_lookup)]
                   + ["const", "instance"])
@@ -422,7 +455,7 @@ def _quotient_kernel(k, e_log, n_advice, n_lookup, n_perm, deltas, names):
     def rot(a, r):
         return jnp.roll(a, -E * r, axis=0)
 
-    def f(stacked, x_dev, l0_dev, zhinv_dev, blk, beta, gamma, y):
+    def f(stacked, x_dev, l0_dev, lu_dev, zhinv_dev, blk, beta, gamma, y):
         def get(nm):
             return stacked[idx[nm]]
 
@@ -438,11 +471,11 @@ def _quotient_kernel(k, e_log, n_advice, n_lookup, n_perm, deltas, names):
             expr = FR.sub(FR.add(a, FR.mul(rot(a, 1), rot(a, 2))), rot(a, 3))
             acc(FR.mul(get(f"q_{c}"), expr))
 
-        # logUp: (h(w) - h)*prod_j(b+L_j)*(b+T) - sum_j prod_{j'!=j}(b+L_j')*(b+T)
-        #        + m*prod_j(b+L_j)
+        # logUp
         if n_lookup > 0:
             T = FR.add(get("table"), blk[None, :])
-            Ls = [FR.add(get(f"lookup_{c}"), blk[None, :]) for c in range(n_lookup)]
+            Ls = [FR.add(get(f"lookup_{c}"), blk[None, :])
+                  for c in range(n_lookup)]
             prod_all = Ls[0]
             for l in Ls[1:]:
                 prod_all = FR.mul(prod_all, l)
@@ -459,23 +492,37 @@ def _quotient_kernel(k, e_log, n_advice, n_lookup, n_perm, deltas, names):
             term = FR.add(term, FR.mul(get("m"), prod_all))
             acc(term)
 
-        # permutation
-        znum = rot(get("z"), 1)
-        zden = get("z")
-        num = None
-        den = None
-        for j, nm in enumerate(perm_names):
-            vj = get(nm)
-            dj = jnp.asarray(FR.const_np(deltas[j]))
-            lhs = FR.add(FR.add(vj, FR.mul(FR.mul(beta[None, :], dj[None, :]), x_dev)), gamma[None, :])
-            rhs = FR.add(FR.add(vj, FR.mul(beta[None, :], get(f"sigma_{j}"))), gamma[None, :])
-            num = lhs if num is None else FR.mul(num, lhs)
-            den = rhs if den is None else FR.mul(den, rhs)
-        acc(FR.sub(FR.mul(znum, den), FR.mul(zden, num)))
+        # permutation chunks: active * (z_c(wX) prod den - z_c(X) prod num)
+        for c, chunk in enumerate(chunks):
+            znum = rot(get(f"z_{c}"), 1)
+            zden = get(f"z_{c}")
+            num = None
+            den = None
+            for j in chunk:
+                vj = get(perm_names[j])
+                dj = jnp.asarray(FR.const_np(deltas[j]))
+                lhs = FR.add(
+                    FR.add(vj, FR.mul(FR.mul(beta[None, :], dj[None, :]), x_dev)),
+                    gamma[None, :])
+                rhs = FR.add(FR.add(vj, FR.mul(beta[None, :], get(f"sigma_{j}"))),
+                             gamma[None, :])
+                num = lhs if num is None else FR.mul(num, lhs)
+                den = rhs if den is None else FR.mul(den, rhs)
+            acc(FR.mul(get("active"),
+                       FR.sub(FR.mul(znum, den), FR.mul(zden, num))))
 
-        # l_0 * (z - 1)
         one = jnp.asarray(one_np)
-        acc(FR.mul(l0_dev, FR.sub(get("z"), jnp.broadcast_to(one, get("z").shape))))
+
+        # l_0 * (z_0 - 1)
+        z0 = get("z_0")
+        acc(FR.mul(l0_dev, FR.sub(z0, jnp.broadcast_to(one, z0.shape))))
+        # chaining: l_0 * (z_c - z_{c-1}(w^u X))
+        for c in range(1, n_z):
+            prev_rot = rot(get(f"z_{c-1}"), usable)
+            acc(FR.mul(l0_dev, FR.sub(get(f"z_{c}"), prev_rot)))
+        # closure: l_u * (z_last - 1)
+        zl = get(f"z_{n_z-1}")
+        acc(FR.mul(lu_dev, FR.sub(zl, jnp.broadcast_to(one, zl.shape))))
 
         return FR.mul(total, zhinv_dev)
 
@@ -497,7 +544,7 @@ def verify(vk: VerifyingKey, srs_g2, srs_tau_g2, instances: list[int],
         kind, s = next(stream)
         assert kind == "scalar" and s == v % P, "instance mismatch in proof"
 
-    comm = dict(vk.commitments)  # fixed/sigma columns from the vk
+    comm = dict(vk.commitments)
     for i in range(vk.n_advice):
         comm[f"advice_{i}"] = tr.read_point(stream)
     for i in range(vk.n_lookup):
@@ -507,7 +554,8 @@ def verify(vk: VerifyingKey, srs_g2, srs_tau_g2, instances: list[int],
     beta = tr.challenge()
     gamma = tr.challenge()
     comm["h"] = tr.read_point(stream)
-    comm["z"] = tr.read_point(stream)
+    for c in range(vk.n_z):
+        comm[f"z_{c}"] = tr.read_point(stream)
     y = tr.challenge()
     E = 1 << vk.ext_log
     for i in range(E):
@@ -520,17 +568,16 @@ def verify(vk: VerifyingKey, srs_g2, srs_tau_g2, instances: list[int],
         if nm == "instance":
             continue
         evals[(nm, pt)] = tr.read_scalar(stream)
-
-    # instance eval at x (barycentric over its nonzero prefix)
     evals[("instance", "x")] = _eval_instance(instances, x, vk.k, omega)
 
     v_ch = tr.challenge()
     u_ch = tr.challenge()
 
-    # -- identity check at x -------------------------------------------------
+    # -- identity at x (same y-combination order as the prover kernel) -------
     perm_names = ([f"advice_{c}" for c in range(vk.n_advice)]
                   + [f"lookup_{c}" for c in range(vk.n_lookup)]
                   + ["const", "instance"])
+    chunks = _perm_chunks(vk.n_perm)
     total = 0
     for c in range(vk.n_advice):
         a = evals[(f"advice_{c}", "x")]
@@ -556,16 +603,27 @@ def verify(vk: VerifyingKey, srs_g2, srs_tau_g2, instances: list[int],
             term = (term - others * T) % P
         term = (term + evals[("m", "x")] * prod_all) % P
         total = (total * y + term) % P
-    num = 1
-    den = 1
-    for j, nm in enumerate(perm_names):
-        vj = evals[(nm, "x")]
-        num = num * ((vj + beta * vk.deltas[j] % P * x + gamma) % P) % P
-        den = den * ((vj + beta * evals[(f"sigma_{j}", "x")] + gamma) % P) % P
-    total = (total * y + evals[("z", "wx")] * den - evals[("z", "x")] * num) % P
+    for c, chunk in enumerate(chunks):
+        num = 1
+        den = 1
+        for j in chunk:
+            vj = evals[(perm_names[j], "x")]
+            num = num * ((vj + beta * vk.deltas[j] % P * x + gamma) % P) % P
+            den = den * ((vj + beta * evals[(f"sigma_{j}", "x")] + gamma) % P) % P
+        term = (evals[(f"z_{c}", "wx")] * den - evals[(f"z_{c}", "x")] * num) % P
+        total = (total * y + evals[("active", "x")] * term) % P
+
     zh_x = (pow(x, n, P) - 1) % P
     l0_x = zh_x * pow(n * (x - 1) % P, -1, P) % P
-    total = (total * y + l0_x * ((evals[("z", "x")] - 1) % P)) % P
+    wu = pow(omega, vk.usable, P)
+    lu_x = wu * zh_x % P * pow(n * (x - wu) % P, -1, P) % P
+
+    total = (total * y + l0_x * ((evals[("z_0", "x")] - 1) % P)) % P
+    for c in range(1, vk.n_z):
+        chain = (evals[(f"z_{c}", "x")] - evals[(f"z_{c-1}", "wux")]) % P
+        total = (total * y + l0_x * chain) % P
+    total = (total * y
+             + lu_x * ((evals[(f"z_{vk.n_z-1}", "x")] - 1) % P)) % P
 
     t_at_x = 0
     xn = pow(x, n, P)
@@ -575,25 +633,21 @@ def verify(vk: VerifyingKey, srs_g2, srs_tau_g2, instances: list[int],
         return False
 
     # -- GWC pairing check ---------------------------------------------------
-    eval_points = {"x": x, "wx": x * omega % P,
-                   "w2x": x * omega % P * omega % P,
-                   "w3x": x * pow(omega, 3, P) % P}
+    eval_points = _eval_points(x, omega, vk.usable)
     by_point: dict[str, list[str]] = {}
     for nm, pt in sorted(queries):
         by_point.setdefault(pt, []).append(nm)
 
     w_comms = {}
-    for pt_name in ("x", "wx", "w2x", "w3x"):
+    for pt_name in POINT_NAMES:
         if by_point.get(pt_name):
             w_comms[pt_name] = tr.read_point(stream)
 
-    # aggregate: sum_p u^p [ F_p + p*W_p - [e_p]G ] vs sum_p u^p W_p
-    # where F_p = sum_i v^i C_i, e_p = sum_i v^i f_i(p)
     lhs_acc = AffinePoint.identity(BN254_G1)
     rhs_acc = AffinePoint.identity(BN254_G1)
     gen = AffinePoint.generator(BN254_G1)
     u_pow = 1
-    for pt_name in ("x", "wx", "w2x", "w3x"):
+    for pt_name in POINT_NAMES:
         names = by_point.get(pt_name)
         if not names:
             continue
@@ -601,11 +655,8 @@ def verify(vk: VerifyingKey, srs_g2, srs_tau_g2, instances: list[int],
         f_acc = AffinePoint.identity(BN254_G1)
         e_acc = 0
         for nm in names:
-            c_pt = comm[nm] if nm != "instance" else None
-            if nm == "instance":
-                # instance commitment: verifier recomputes it? -- instead
-                # fold the known eval only; commitment must be supplied.
-                c_pt = _instance_commitment(vk, instances)
+            c_pt = comm[nm] if nm != "instance" else _instance_commitment(
+                vk, instances)
             f_acc = f_acc + coef * c_pt
             e_acc = (e_acc + coef * evals[(nm, pt_name)]) % P
             coef = coef * v_ch % P
@@ -615,7 +666,6 @@ def verify(vk: VerifyingKey, srs_g2, srs_tau_g2, instances: list[int],
         rhs_acc = rhs_acc + u_pow * w
         u_pow = u_pow * u_ch % P
 
-    # e(lhs, G2) * e(-rhs, tau G2)... pairing identity:
     # W*(tau - p) = f - e  =>  e(W, [tau]G2) = e(F + pW - eG, G2)
     return pr.pairing_check([
         (lhs_acc, srs_g2),
@@ -629,8 +679,8 @@ def _instance_commitment_cache():
 
 
 def _instance_commitment(vk: VerifyingKey, instances):
-    """Commitment to the instance column -- verifier-side MSM over the
-    Lagrange SRS prefix (small: only len(instances) points)."""
+    """Commitment to the instance column -- host MSM over the Lagrange SRS
+    prefix (small: only len(instances) points)."""
     key = (vk.k, tuple(v % P for v in instances))
     cache = _instance_commitment_cache()
     if key not in cache:

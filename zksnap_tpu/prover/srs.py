@@ -69,24 +69,24 @@ def gen_srs(k: int, seed: bytes = b"dev") -> SRS:
                           jnp.asarray(d["lz"]))
     else:
         nbits = 254
-        g = ops.generator((n,))
 
         @jax.jit
-        def make_bits(c):
+        def batched_mul(c):
+            # NB: the generator is built INSIDE the jit from numpy constants;
+            # closing over a device array would force a device->host constant
+            # fetch at lowering time (pathological over the TPU relay).
             idx = jnp.arange(nbits - 1, -1, -1)
             limb = idx // 16
             off = idx % 16
-            return ((c[:, limb] >> off) & 1).astype(jnp.uint32)
-
-        @jax.jit
-        def batched_mul(bits):
+            bits = ((c[:, limb] >> off) & 1).astype(jnp.uint32)
+            g = ops.generator((c.shape[0],))
             return ops.scalar_mul(g, bits)
 
         from ..fields.common import ints_to_limbs
 
         def powers_to_points(scalars_int: list[int]) -> JacPoint:
             arr = jnp.asarray(ints_to_limbs(scalars_int))  # canonical limbs
-            return batched_mul(make_bits(arr))
+            return batched_mul(arr)
 
         # monomial powers tau^i (host: n small muls)
         taus = [1] * n
