@@ -33,7 +33,8 @@ def main():
 
     t0 = time.time()
     inp = generate_random_voter_circuit_inputs(rng)
-    ctx = Context()
+    # halo2-base convention: lookup_bits = k - 1 (reference uses 14 at k=15)
+    ctx = Context(lookup_bits=min(14, k - 1))
     pub = []
     voter_circuit(ctx, inp, pub)
     stats = check(ctx, expected_instances(inp))

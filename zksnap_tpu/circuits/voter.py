@@ -50,8 +50,17 @@ def voter_circuit(ctx: Context, inp: VoterCircuitInput,
     paillier = PaillierChip(ctx, big, ENC_BIT_LEN)
 
     # assign inputs
-    pk_x, pk_y = load_point_unchecked(ctx, inp.pk_voter.x, inp.pk_voter.y)
-    null_x, null_y = load_point_unchecked(ctx, inp.nullifier.x, inp.nullifier.y)
+    if flags.check_plume:
+        from ..gadgets.plume_gadget import make_plume_chips
+
+        chips = make_plume_chips(ctx)
+        pk_pt = chips.ecc.load_point_unchecked(inp.pk_voter.x, inp.pk_voter.y)
+        null_pt = chips.ecc.load_point_unchecked(inp.nullifier.x, inp.nullifier.y)
+        pk_x, pk_y = pk_pt.x.limbs, pk_pt.y.limbs
+        null_x, null_y = null_pt.x.limbs, null_pt.y.limbs
+    else:
+        pk_x, pk_y = load_point_unchecked(ctx, inp.pk_voter.x, inp.pk_voter.y)
+        null_x, null_y = load_point_unchecked(ctx, inp.nullifier.x, inp.nullifier.y)
     membership_root = ctx.load_witness(inp.membership_root)
     leaf = hasher.hash_fix_len_array(pk_x + pk_y)
     membership_proof = [ctx.load_witness(v) for v in inp.membership_proof]
@@ -104,13 +113,13 @@ def voter_circuit(ctx: Context, inp: VoterCircuitInput,
         from ..gadgets.plume_gadget import PlumeInput, verify_plume
 
         plume_inp = PlumeInput(
-            nullifier=(null_x, null_y),
-            s=inp.s_nullifier,
-            c=inp.c_nullifier,
-            pk=(pk_x, pk_y),
+            nullifier=null_pt,
+            s=chips.fq.assign(inp.s_nullifier),
+            c=chips.fq.assign(inp.c_nullifier),
+            pk=pk_pt,
             message=message,
         )
-        verify_plume(ctx, plume_inp)
+        verify_plume(chips, plume_inp)
 
     # NULLIFIER, MERKLE_ROOT, PROPOSAL_ID
     public_inputs.extend(compressed)
