@@ -18,6 +18,7 @@ voter_tests/src/lib.rs:1-6).
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -174,7 +175,23 @@ class PrimeField:
         return jnp.where(ge[..., None], d, res)
 
     def mul(self, a, b):
+        if self._use_pallas(a, b):
+            from .pallas_mont import mont_mul_batch
+
+            return mont_mul_batch(a, b, self.p, self.n0)
         return self.mont_redc(mul_wide(a, b))
+
+    def _use_pallas(self, a, b) -> bool:
+        """Fused Pallas kernel on TPU for non-tiny batches; jnp elsewhere."""
+        if _os.environ.get("ZKSNAP_TPU_PALLAS", "1") != "1":
+            return False
+        if jax.default_backend() == "cpu":
+            return False
+        shape = jnp.broadcast_shapes(a.shape, b.shape)[:-1]
+        n = 1
+        for d in shape:
+            n *= int(d)
+        return n >= 256
 
     def square(self, a):
         return self.mul(a, a)
@@ -252,15 +269,20 @@ class PrimeField:
 
     def random(self, key, shape=()):
         """Uniform field elements in Montgomery form (for tests/benches)."""
-        raw = jax.random.randint(
-            key, shape + (N_LIMBS,), 0, 1 << LIMB_BITS, dtype=jnp.uint32
-        )
-        # fold a 256-bit uniform value mod p by one REDC against R2*R^-1...
-        # simplest unbiased-enough path for tests: clear top bits then cond-sub
-        raw = raw.at[..., N_LIMBS - 1].set(raw[..., N_LIMBS - 1] & (LIMB_MASK >> 2))
-        ge = limbs_geq(raw, self.p_limbs)
-        d, _ = raw_sub(raw, self.p_limbs)
-        return jnp.where(ge[..., None], d, raw)
+
+        @jax.jit
+        def gen(key):
+            raw = jax.random.randint(
+                key, shape + (N_LIMBS,), 0, 1 << LIMB_BITS, dtype=jnp.uint32
+            )
+            # clear top bits then cond-sub (near-uniform; test/bench use only)
+            raw = raw.at[..., N_LIMBS - 1].set(
+                raw[..., N_LIMBS - 1] & (LIMB_MASK >> 2))
+            ge = limbs_geq(raw, self.p_limbs)
+            d, _ = raw_sub(raw, self.p_limbs)
+            return jnp.where(ge[..., None], d, raw)
+
+        return gen(key)
 
 
 # ---------------------------------------------------------------------------

@@ -63,23 +63,33 @@ def _segmented_bucket_sums(ops: CurveOps, pts: JacPoint, ids, n_buckets: int):
     flags = (ids_s != prev)
 
     # Segmented inclusive scan, Hillis-Steele style: log2(n) steps, each ONE
-    # full-width batched Jacobian add.  (jax.lax.associative_scan would
-    # inline the 1000-op combine body O(n) times -- untraceable.)
+    # full-width batched Jacobian add.  Expressed as a fori_loop with a
+    # dynamic roll so the (large) add body appears ONCE in the graph --
+    # compile time matters as much as run time for these kernels.
     ident = ops.identity((n,))
-    sx, sy, sz, fs = px, py, pz, flags
-    d = 1
-    while d < n:
-        shx = jnp.concatenate([ident.x[:d], sx[:-d]])
-        shy = jnp.concatenate([ident.y[:d], sy[:-d]])
-        shz = jnp.concatenate([ident.z[:d], sz[:-d]])
-        shf = jnp.concatenate([jnp.ones((d,), bool), fs[:-d]])
+    rows = jnp.arange(n)
+
+    def seg_step(i, state):
+        sx, sy, sz, fs = state
+        d = jnp.left_shift(1, i)
+        valid = rows >= d  # rows < d have no left neighbour at distance d
+        shx = jnp.roll(sx, d, axis=0)
+        shy = jnp.roll(sy, d, axis=0)
+        shz = jnp.roll(sz, d, axis=0)
+        shz = jnp.where(valid[:, None], shz, jnp.zeros_like(shz))  # -> identity
+        shf = jnp.where(valid, jnp.roll(fs, d, axis=0), True)
         s = ops.add(JacPoint(shx, shy, shz), JacPoint(sx, sy, sz))
-        keep = fs[..., None]  # segment boundary within distance d: keep own
-        sx = jnp.where(keep, sx, s.x)
-        sy = jnp.where(keep, sy, s.y)
-        sz = jnp.where(keep, sz, s.z)
-        fs = fs | shf
-        d *= 2
+        keep = fs[:, None]  # segment boundary within distance d: keep own
+        return (
+            jnp.where(keep, sx, s.x),
+            jnp.where(keep, sy, s.y),
+            jnp.where(keep, sz, s.z),
+            fs | shf,
+        )
+
+    sx, sy, sz, _ = jax.lax.fori_loop(
+        0, max(n.bit_length() - 1, 1), seg_step, (px, py, pz, flags)
+    )
 
     # tails: last element of each run
     nxt = jnp.concatenate([ids_s[1:], jnp.full((1,), -2, ids_s.dtype)])
@@ -97,41 +107,35 @@ def _segmented_bucket_sums(ops: CurveOps, pts: JacPoint, ids, n_buckets: int):
     return JacPoint(buckets.x, buckets.y, bz0)
 
 
-def _weighted_bucket_reduce(ops: CurveOps, buckets: JacPoint):
-    """sum_b b * S_b via suffix sums: = sum_{b>=1} suffix_b.
+def _suffix_scan(ops: CurveOps, pts: JacPoint) -> JacPoint:
+    """suffix[i] = sum_{j >= i} pts[j], as a fori_loop (one add body)."""
+    n = pts.x.shape[0]
+    rows = jnp.arange(n)
 
-    Suffix scan is a manual reversed Hillis-Steele loop (log2(B) batched
-    adds) for the same trace-size reason as the segmented scan above."""
-    n = buckets.x.shape[0]
-    ident = ops.identity((n,))
-    sx, sy, sz = buckets.x, buckets.y, buckets.z
-    d = 1
-    while d < n:
-        shx = jnp.concatenate([sx[d:], ident.x[:d]])
-        shy = jnp.concatenate([sy[d:], ident.y[:d]])
-        shz = jnp.concatenate([sz[d:], ident.z[:d]])
+    def step(i, state):
+        sx, sy, sz = state
+        d = jnp.left_shift(1, i)
+        valid = rows < n - d
+        shx = jnp.roll(sx, -d, axis=0)
+        shy = jnp.roll(sy, -d, axis=0)
+        shz = jnp.roll(sz, -d, axis=0)
+        shz = jnp.where(valid[:, None], shz, jnp.zeros_like(shz))
         s = ops.add(JacPoint(sx, sy, sz), JacPoint(shx, shy, shz))
-        sx, sy, sz = s.x, s.y, s.z
-        d *= 2
-    # total = sum of suffix[1:]; suffix[0] includes bucket 0 (identity) so
-    # summing suffix[1:] is exactly sum_b b*S_b.
-    acc = JacPoint(sx[1:], sy[1:], sz[1:])
-    n = acc.x.shape[0]
-    while n > 1:
-        half = n // 2
-        hi = JacPoint(acc.x[half : 2 * half], acc.y[half : 2 * half],
-                      acc.z[half : 2 * half])
-        lo = JacPoint(acc.x[:half], acc.y[:half], acc.z[:half])
-        s = ops.add(lo, hi)
-        if n % 2:  # carry the odd element
-            s = JacPoint(
-                jnp.concatenate([s.x, acc.x[2 * half :]]),
-                jnp.concatenate([s.y, acc.y[2 * half :]]),
-                jnp.concatenate([s.z, acc.z[2 * half :]]),
-            )
-        acc = s
-        n = acc.x.shape[0]
-    return JacPoint(acc.x[0], acc.y[0], acc.z[0])
+        return (s.x, s.y, s.z)
+
+    sx, sy, sz = jax.lax.fori_loop(
+        0, max(n.bit_length() - 1, 1), step, (pts.x, pts.y, pts.z)
+    )
+    return JacPoint(sx, sy, sz)
+
+
+def _weighted_bucket_reduce(ops: CurveOps, buckets: JacPoint):
+    """sum_b b * S_b = (suffix o suffix)[1]: two suffix scans.
+
+    suffix1[b] = sum_{b'>=b} S_b'; sum_{b>=1} suffix1[b] = suffix2[1]."""
+    s1 = _suffix_scan(ops, buckets)
+    s2 = _suffix_scan(ops, s1)
+    return JacPoint(s2.x[1], s2.y[1], s2.z[1])
 
 
 def msm_impl(ops: CurveOps, pts: JacPoint, scalars, c: int, n_windows: int):
@@ -148,8 +152,7 @@ def msm_impl(ops: CurveOps, pts: JacPoint, scalars, c: int, n_windows: int):
     def body(total, digits):
         buckets = _segmented_bucket_sums(ops, pts, digits, 1 << c)
         wsum = _weighted_bucket_reduce(ops, buckets)
-        for _ in range(c):
-            total = ops.double(total)
+        total = jax.lax.fori_loop(0, c, lambda i, t: ops.double(t), total)
         return ops.add(total, wsum), None
 
     total, _ = jax.lax.scan(body, ops.identity(()), digits_all)

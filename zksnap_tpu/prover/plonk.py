@@ -535,6 +535,23 @@ def _quotient_kernel(k, e_log, n_advice, n_lookup, n_perm, usable, deltas,
 
 def verify(vk: VerifyingKey, srs_g2, srs_tau_g2, instances: list[int],
            proof: list) -> bool:
+    """Full verification: succinct check + pairing decision."""
+    res = verify_succinct(vk, instances, proof)
+    if res is None:
+        return False
+    lhs_acc, rhs_acc = res
+    return pr.pairing_check([
+        (lhs_acc, srs_g2),
+        (-rhs_acc, srs_tau_g2),
+    ])
+
+
+def verify_succinct(vk: VerifyingKey, instances: list[int], proof: list):
+    """Everything except the pairing: transcript replay + identity check +
+    GWC aggregation.  Returns (lhs, rhs) G1 points such that the proof is
+    valid iff e(rhs, [tau]G2) == e(lhs, G2) -- i.e. a KZG accumulator
+    (snark-verifier `PlonkSuccinctVerifier::verify` equivalent,
+    wrapper.rs:445-471).  None if the algebraic identity fails."""
     n = 1 << vk.k
     omega = vk.omega
     stream = iter(proof)
@@ -630,7 +647,7 @@ def verify(vk: VerifyingKey, srs_g2, srs_tau_g2, instances: list[int],
     for i in range(E - 1, -1, -1):
         t_at_x = (t_at_x * xn + evals[(f"t_{i}", "x")]) % P
     if total != t_at_x * zh_x % P:
-        return False
+        return None
 
     # -- GWC pairing check ---------------------------------------------------
     eval_points = _eval_points(x, omega, vk.usable)
@@ -667,10 +684,7 @@ def verify(vk: VerifyingKey, srs_g2, srs_tau_g2, instances: list[int],
         u_pow = u_pow * u_ch % P
 
     # W*(tau - p) = f - e  =>  e(W, [tau]G2) = e(F + pW - eG, G2)
-    return pr.pairing_check([
-        (lhs_acc, srs_g2),
-        (-rhs_acc, srs_tau_g2),
-    ])
+    return lhs_acc, rhs_acc
 
 
 @functools.lru_cache(maxsize=None)
