@@ -120,6 +120,10 @@ class PrimeField:
     # -- modular add/sub/neg ------------------------------------------------
 
     def add(self, a, b):
+        if self._use_pallas(a, b):
+            from .pallas_mont import mont_addsub_batch
+
+            return mont_addsub_batch(a, b, self.p, "add")
         s, carry = carry_propagate(a + b)
         # s + carry*2^256; subtract p once if >= p (sum < 2p so once suffices)
         ge = (carry > 0) | limbs_geq(s, self.p_limbs)
@@ -127,6 +131,10 @@ class PrimeField:
         return jnp.where(ge[..., None], d, s)
 
     def sub(self, a, b):
+        if self._use_pallas(a, b):
+            from .pallas_mont import mont_addsub_batch
+
+            return mont_addsub_batch(a, b, self.p, "sub")
         d, borrow = raw_sub(a, b)
         dp, _ = carry_propagate(d + self.p_limbs)
         return jnp.where((borrow > 0)[..., None], dp, d)

@@ -117,6 +117,99 @@ def mont_mul_limb_major(a, b, p_int: int, n0: int, block: int = 1024):
     return _mont_mul_fn(p_int, n0, block, _use_interpret())(a, b)
 
 
+def _addsub_kernel_body(p_limbs: np.ndarray, mode: str):
+    """mode 'add': (a+b) mod p; mode 'sub': (a-b) mod p.  Unrolled carry
+    chains, all in VMEM."""
+    p_rows = [np.uint32(v) for v in p_limbs]
+    mask = np.uint32(LIMB_MASK)
+
+    def kernel(a_ref, b_ref, o_ref):
+        a = [a_ref[i, :] for i in range(N_LIMBS)]
+        b = [b_ref[i, :] for i in range(N_LIMBS)]
+        zero = jnp.zeros_like(a[0])
+
+        if mode == "add":
+            carry = zero
+            s = []
+            for i in range(N_LIMBS):
+                tot = a[i] + b[i] + carry
+                s.append(tot & mask)
+                carry = tot >> LIMB_BITS
+            # ge = carry | (s >= p)
+            eq_run = jnp.ones_like(carry, dtype=bool)
+            gt = jnp.zeros_like(eq_run)
+            for i in range(N_LIMBS - 1, -1, -1):
+                gt = gt | (eq_run & (s[i] > p_rows[i]))
+                eq_run = eq_run & (s[i] == p_rows[i])
+            ge = (carry > 0) | gt | eq_run
+            borrow = zero
+            for i in range(N_LIMBS):
+                t = s[i] - p_rows[i] - borrow
+                nb = (t >> 31) & 1
+                sub_i = (t + (nb << LIMB_BITS)) & mask
+                o_ref[i, :] = jnp.where(ge, sub_i, s[i])
+                borrow = nb
+        else:  # sub
+            borrow = zero
+            d = []
+            for i in range(N_LIMBS):
+                t = a[i] - b[i] - borrow
+                nb = (t >> 31) & 1
+                d.append((t + (nb << LIMB_BITS)) & mask)
+                borrow = nb
+            under = borrow > 0  # a < b: add p back
+            carry = zero
+            for i in range(N_LIMBS):
+                tot = d[i] + p_rows[i] + carry
+                o_ref[i, :] = jnp.where(under, tot & mask, d[i])
+                carry = tot >> LIMB_BITS
+
+    return kernel
+
+
+@functools.cache
+def _addsub_fn(p_int: int, mode: str, block: int, interpret: bool):
+    from jax.experimental import pallas as pl
+
+    kernel = _addsub_kernel_body(int_to_limbs(p_int), mode)
+
+    def run(a, b):
+        n = a.shape[1]
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((N_LIMBS, n), jnp.uint32),
+            grid=(n // block,),
+            in_specs=[
+                pl.BlockSpec((N_LIMBS, block), lambda i: (0, i)),
+                pl.BlockSpec((N_LIMBS, block), lambda i: (0, i)),
+            ],
+            out_specs=pl.BlockSpec((N_LIMBS, block), lambda i: (0, i)),
+            interpret=interpret,
+        )(a, b)
+
+    return run
+
+
+def mont_addsub_batch(a, b, p_int: int, mode: str):
+    """(a +/- b) mod p over [..., 16] tensors via the fused kernel."""
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    a = jnp.broadcast_to(a, shape)
+    b = jnp.broadcast_to(b, shape)
+    batch_shape = shape[:-1]
+    n = int(np.prod(batch_shape)) if batch_shape else 1
+    block = 1024 if n >= 1024 else max(8, 1 << (n - 1).bit_length())
+    pad = (-n) % block
+    a2 = a.reshape(n, N_LIMBS)
+    b2 = b.reshape(n, N_LIMBS)
+    if pad:
+        a2 = jnp.concatenate([a2, jnp.zeros((pad, N_LIMBS), jnp.uint32)])
+        b2 = jnp.concatenate([b2, jnp.zeros((pad, N_LIMBS), jnp.uint32)])
+    out = _addsub_fn(p_int, mode, block, _use_interpret())(a2.T, b2.T).T
+    if pad:
+        out = out[:n]
+    return out.reshape(*batch_shape, N_LIMBS)
+
+
 def mont_mul_batch(a, b, p_int: int, n0: int):
     """[..., 16] layout wrapper: transpose -> kernel -> transpose back.
 

@@ -100,25 +100,24 @@ def _segmented_bucket_sums(ops: CurveOps, pts: JacPoint, ids, n_buckets: int):
     bx = ident.x.at[target].set(sx)
     by = ident.y.at[target].set(sy)
     bz = ident.z.at[target].set(sz)
-    # drop trash slot; also zero out bucket 0 (weight 0)
-    buckets = JacPoint(bx[:n_buckets], by[:n_buckets], bz[:n_buckets])
-    zero_mask = jnp.arange(n_buckets) == 0
-    bz0 = jnp.where(zero_mask[..., None], jnp.zeros_like(buckets.z), buckets.z)
-    return JacPoint(buckets.x, buckets.y, bz0)
+    # drop trash slot (bucket 0 carries weight 0; the weighted reduce
+    # excludes it per-window, no masking needed)
+    return JacPoint(bx[:n_buckets], by[:n_buckets], bz[:n_buckets])
 
 
 def _suffix_scan(ops: CurveOps, pts: JacPoint) -> JacPoint:
-    """suffix[i] = sum_{j >= i} pts[j], as a fori_loop (one add body)."""
-    n = pts.x.shape[0]
+    """suffix[..., i] = sum_{j >= i} pts[..., j] along the second-to-last
+    axis (axis -2 of the limb tensors), as a fori_loop (one add body)."""
+    n = pts.x.shape[-2]
     rows = jnp.arange(n)
 
     def step(i, state):
         sx, sy, sz = state
         d = jnp.left_shift(1, i)
         valid = rows < n - d
-        shx = jnp.roll(sx, -d, axis=0)
-        shy = jnp.roll(sy, -d, axis=0)
-        shz = jnp.roll(sz, -d, axis=0)
+        shx = jnp.roll(sx, -d, axis=-2)
+        shy = jnp.roll(sy, -d, axis=-2)
+        shz = jnp.roll(sz, -d, axis=-2)
         shz = jnp.where(valid[:, None], shz, jnp.zeros_like(shz))
         s = ops.add(JacPoint(sx, sy, sz), JacPoint(shx, shy, shz))
         return (s.x, s.y, s.z)
@@ -130,32 +129,46 @@ def _suffix_scan(ops: CurveOps, pts: JacPoint) -> JacPoint:
 
 
 def _weighted_bucket_reduce(ops: CurveOps, buckets: JacPoint):
-    """sum_b b * S_b = (suffix o suffix)[1]: two suffix scans.
+    """sum_b b * S_b = (suffix o suffix)[..., 1]: two suffix scans along
+    the bucket axis (batched over any leading window axis).
 
     suffix1[b] = sum_{b'>=b} S_b'; sum_{b>=1} suffix1[b] = suffix2[1]."""
     s1 = _suffix_scan(ops, buckets)
     s2 = _suffix_scan(ops, s1)
-    return JacPoint(s2.x[1], s2.y[1], s2.z[1])
+    return JacPoint(s2.x[..., 1, :], s2.y[..., 1, :], s2.z[..., 1, :])
 
 
 def msm_impl(ops: CurveOps, pts: JacPoint, scalars, c: int, n_windows: int):
     """Full Pippenger: -> JacPoint (scalar batch shape ()).
 
-    The per-window pipeline (sort -> segmented scan -> suffix reduce) is a
-    lax.scan over windows so its graph is traced once, not n_windows times;
-    the Horner double-chain is folded into the scan carry (MSB window
-    first)."""
-    digits_all = jnp.stack(
-        [window_digits(scalars, c, w) for w in reversed(range(n_windows))]
-    )  # [W, n], MSB window first
+    ALL windows are processed in one flattened pipeline: composite bucket
+    ids (window << c | digit) feed a single sort + segmented scan over
+    W*n elements (maximum batch width for the Pallas field kernels), the
+    per-window weighted reductions run batched over the window axis, and
+    only the cheap Horner double-chain is sequential."""
+    n = scalars.shape[0]
+    W, B = n_windows, 1 << c
+    digits = jnp.stack([window_digits(scalars, c, w) for w in range(W)])
+    flat_ids = (jnp.arange(W, dtype=jnp.int32)[:, None] * B + digits).reshape(-1)
+    tiled = JacPoint(
+        jnp.tile(pts.x, (W, 1)), jnp.tile(pts.y, (W, 1)), jnp.tile(pts.z, (W, 1))
+    )
+    flat_buckets = _segmented_bucket_sums(ops, tiled, flat_ids, W * B)
+    buckets = JacPoint(
+        flat_buckets.x.reshape(W, B, -1),
+        flat_buckets.y.reshape(W, B, -1),
+        flat_buckets.z.reshape(W, B, -1),
+    )
+    wsums = _weighted_bucket_reduce(ops, buckets)  # [W, 16] points
 
-    def body(total, digits):
-        buckets = _segmented_bucket_sums(ops, pts, digits, 1 << c)
-        wsum = _weighted_bucket_reduce(ops, buckets)
+    # Horner over windows, MSB first
+    rev = JacPoint(wsums.x[::-1], wsums.y[::-1], wsums.z[::-1])
+
+    def body(total, wsum):
         total = jax.lax.fori_loop(0, c, lambda i, t: ops.double(t), total)
-        return ops.add(total, wsum), None
+        return ops.add(total, JacPoint(*wsum)), None
 
-    total, _ = jax.lax.scan(body, ops.identity(()), digits_all)
+    total, _ = jax.lax.scan(body, ops.identity(()), (rev.x, rev.y, rev.z))
     return total
 
 
