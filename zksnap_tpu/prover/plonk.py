@@ -160,6 +160,45 @@ def keygen(ctx: Context, k: int, srs: SRS | None = None) -> ProvingKey:
 # Prover
 # ---------------------------------------------------------------------------
 
+def rebind_witness(pk: ProvingKey, ctx: Context) -> ProvingKey:
+    """Reuse a proving key with a fresh witness (same circuit structure).
+
+    The reference's keygen is witness-independent; ours snapshots the
+    synthesis, so a new Context (same circuit, new inputs) is rebound by
+    replacing the witness-dependent columns.  Structure (gates, copies,
+    constants, lookups) must match the keygen synthesis exactly.
+    """
+    import copy
+
+    old = pk.layout
+    assert len(ctx.advice) == old.cell_map.shape[0], "witness shape mismatch"
+    assert len(ctx.gate_offsets) == sum(
+        sum(1 for v in q if v) for q in old.q_cols
+    ), "gate structure mismatch"
+    layout = copy.copy(old)
+    n, usable = old.n, old.usable
+    bounds = old.col_starts + [len(ctx.advice)]
+    layout.advice_cols = [
+        ctx.advice[bounds[c] : bounds[c + 1]]
+        + [0] * (n - (bounds[c + 1] - bounds[c]))
+        for c in range(old.n_advice)
+    ]
+    layout.lookup_cols = []
+    for c in range(old.n_lookup):
+        chunk = ctx.lookups[c * usable : (c + 1) * usable]
+        layout.lookup_cols.append(
+            [ctx.advice[i] for i in chunk] + [0] * (n - len(chunk)))
+    mult = [0] * n
+    for col in layout.lookup_cols:
+        for v in col:
+            mult[v] += 1
+    layout.multiplicity = mult
+    layout.instance_col = ([c.value for c in ctx.instance]
+                           + [0] * (n - len(ctx.instance)))
+    return ProvingKey(vk=pk.vk, layout=layout, srs=pk.srs,
+                      fixed_dev=pk.fixed_dev)
+
+
 def prove(pk: ProvingKey, instances: list[int]) -> list:
     layout = pk.layout
     n, k = layout.n, layout.k
