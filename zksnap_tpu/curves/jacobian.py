@@ -93,8 +93,33 @@ class CurveOps:
     def is_identity(self, p: JacPoint):
         return self.F.is_zero(p.z)
 
+    def _pallas_block(self, *pts) -> int:
+        """Fused point-kernel block size, or 0 for the jnp path."""
+        import os
+
+        if os.environ.get("ZKSNAP_TPU_PALLAS", "1") != "1":
+            return 0
+        if jax.default_backend() == "cpu":
+            return 0
+        shapes = {p.x.shape for p in pts}
+        if len(shapes) != 1:
+            return 0
+        n = 1
+        for d in pts[0].x.shape[:-1]:
+            n *= int(d)
+        if n < 256:
+            return 0
+        return 512
+
     def double(self, p: JacPoint) -> JacPoint:
         """dbl-2009-l (a=0).  Identity doubles to identity (Z stays 0)."""
+        block = self._pallas_block(p)
+        if block:
+            from .pallas_point import point_dbl_batch
+
+            x, y, z = point_dbl_batch(
+                (p.x, p.y, p.z), self.F.p, self.F.n0, block, False)
+            return JacPoint(x, y, z)
         F = self.F
         A = F.square(p.x)
         B = F.square(p.y)
@@ -109,7 +134,24 @@ class CurveOps:
         return JacPoint(X3, Y3, Z3)
 
     def add(self, p: JacPoint, q: JacPoint) -> JacPoint:
-        """Complete branchless addition (handles P==Q, P==-Q, identities)."""
+        """Complete branchless addition (handles P==Q, P==-Q, identities).
+
+        NB: the fully-fused add kernel (curves/pallas_point.py) is gated
+        off by default -- its ~50k-op straight-line body compiles too
+        slowly under Mosaic; splitting it into 2-3 stages is the planned
+        fix.  The composed path below still uses the fused field kernels.
+        """
+        import os
+
+        if os.environ.get("ZKSNAP_TPU_FUSED_ADD") == "1":
+            block = self._pallas_block(p, q)
+            if block:
+                from .pallas_point import point_add_batch
+
+                x, y, z = point_add_batch(
+                    (p.x, p.y, p.z), (q.x, q.y, q.z),
+                    self.F.p, self.F.n0, block, False)
+                return JacPoint(x, y, z)
         F = self.F
         z1z1 = F.square(p.z)
         z2z2 = F.square(q.z)
