@@ -143,14 +143,24 @@ class CurveOps:
         """
         import os
 
-        if os.environ.get("ZKSNAP_TPU_FUSED_ADD") == "1":
+        # "staged" (3-kernel fused add) compiles ~5min per block shape and
+        # needs longer validation -- off by default for now (round-2 item).
+        mode = os.environ.get("ZKSNAP_TPU_FUSED_ADD", "0")
+        if mode in ("staged", "1"):
             block = self._pallas_block(p, q)
             if block:
-                from .pallas_point import point_add_batch
+                if mode == "staged":
+                    from .pallas_point import point_add_staged
 
-                x, y, z = point_add_batch(
-                    (p.x, p.y, p.z), (q.x, q.y, q.z),
-                    self.F.p, self.F.n0, block, False)
+                    x, y, z = point_add_staged(
+                        (p.x, p.y, p.z), (q.x, q.y, q.z),
+                        self.F.p, self.F.n0, block, False)
+                else:
+                    from .pallas_point import point_add_batch
+
+                    x, y, z = point_add_batch(
+                        (p.x, p.y, p.z), (q.x, q.y, q.z),
+                        self.F.p, self.F.n0, block, False)
                 return JacPoint(x, y, z)
         F = self.F
         z1z1 = F.square(p.z)

@@ -199,6 +199,125 @@ def _point_kernels(p_int: int, n0_int: int):
     return add_kernel, dbl_kernel
 
 
+def _staged_kernels(p_int: int, n0_int: int):
+    """add = stage A (cross products) + dbl kernel + stage B (combine).
+
+    Each stage is ~8 Montgomery muls -- inside Mosaic's practical size
+    budget, unlike the 22-mul monolithic add kernel."""
+    p_rows = [np.uint32(v) for v in int_to_limbs(p_int)]
+    n0 = np.uint32(n0_int)
+
+    def load(ref):
+        return [ref[i, :] for i in range(N_LIMBS)]
+
+    def store(ref, limbs):
+        for i in range(N_LIMBS):
+            ref[i, :] = limbs[i]
+
+    def mul(a, b):
+        return _vec_mont_mul(a, b, p_rows, n0)
+
+    def stage_a(x1r, y1r, z1r, x2r, y2r, z2r,
+                u1o, u2o, s1o, s2o, zz1o, zz2o):
+        x1, y1, z1 = load(x1r), load(y1r), load(z1r)
+        x2, y2, z2 = load(x2r), load(y2r), load(z2r)
+        z1z1 = mul(z1, z1)
+        z2z2 = mul(z2, z2)
+        store(u1o, mul(x1, z2z2))
+        store(u2o, mul(x2, z1z1))
+        store(s1o, mul(mul(y1, z2), z2z2))
+        store(s2o, mul(mul(y2, z1), z1z1))
+        store(zz1o, z1z1)
+        store(zz2o, z2z2)
+
+    def stage_b(u1r, u2r, s1r, s2r, zz1r, zz2r, z1r, z2r,
+                x1r, y1r, x2r, y2r, dxr, dyr, dzr,
+                ox, oy, oz):
+        u1, u2 = load(u1r), load(u2r)
+        s1, s2 = load(s1r), load(s2r)
+        z1z1, z2z2 = load(zz1r), load(zz2r)
+        z1, z2 = load(z1r), load(z2r)
+        x1, y1 = load(x1r), load(y1r)
+        x2, y2 = load(x2r), load(y2r)
+        dx, dy, dz = load(dxr), load(dyr), load(dzr)
+
+        h = _vec_sub(u2, u1, p_rows)
+        r = _vec_sub(s2, s1, p_rows)
+        i = mul(_vec_dbl(h, p_rows), _vec_dbl(h, p_rows))
+        j = mul(h, i)
+        r2 = _vec_dbl(r, p_rows)
+        v = mul(u1, i)
+        x3 = _vec_sub(_vec_sub(mul(r2, r2), j, p_rows),
+                      _vec_dbl(v, p_rows), p_rows)
+        y3 = _vec_sub(mul(r2, _vec_sub(v, x3, p_rows)),
+                      _vec_dbl(mul(s1, j), p_rows), p_rows)
+        zsum = _vec_add(z1, z2, p_rows)
+        zz = _vec_sub(_vec_sub(mul(zsum, zsum), z1z1, p_rows), z2z2, p_rows)
+        z3 = mul(zz, h)
+
+        h_zero = _vec_is_zero(h)
+        r_zero = _vec_is_zero(r)
+        p_inf = _vec_is_zero(z1)
+        q_inf = _vec_is_zero(z2)
+        use_dbl = h_zero & r_zero & ~p_inf & ~q_inf
+        to_inf = h_zero & ~r_zero & ~p_inf & ~q_inf
+
+        X = _vec_select(use_dbl, dx, x3)
+        Y = _vec_select(use_dbl, dy, y3)
+        Z = _vec_select(use_dbl, dz, z3)
+        Z = [jnp.where(to_inf, jnp.zeros_like(vv), vv) for vv in Z]
+        X = _vec_select(q_inf, x1, _vec_select(p_inf, x2, X))
+        Y = _vec_select(q_inf, y1, _vec_select(p_inf, y2, Y))
+        Z = _vec_select(q_inf, z1, _vec_select(p_inf, z2, Z))
+        store(ox, X)
+        store(oy, Y)
+        store(oz, Z)
+
+    return stage_a, stage_b
+
+
+@functools.cache
+def _staged_add_fn(p_int: int, n0_int: int, block: int, interpret: bool):
+    from jax.experimental import pallas as pl
+
+    stage_a, stage_b = _staged_kernels(p_int, n0_int)
+    _, dbl_run = _point_fns(p_int, n0_int, block, interpret)
+
+    def spec():
+        return pl.BlockSpec((N_LIMBS, block), lambda i: (0, i))
+
+    def run(x1, y1, z1, x2, y2, z2):
+        n = x1.shape[1]
+        shp = jax.ShapeDtypeStruct((N_LIMBS, n), jnp.uint32)
+        u1, u2, s1, s2, zz1, zz2 = pl.pallas_call(
+            stage_a,
+            out_shape=(shp,) * 6,
+            grid=(n // block,),
+            in_specs=[spec() for _ in range(6)],
+            out_specs=(spec(),) * 6,
+            interpret=interpret,
+        )(x1, y1, z1, x2, y2, z2)
+        dx, dy, dz = dbl_run(x1, y1, z1)
+        return pl.pallas_call(
+            stage_b,
+            out_shape=(shp,) * 3,
+            grid=(n // block,),
+            in_specs=[spec() for _ in range(15)],
+            out_specs=(spec(),) * 3,
+            interpret=interpret,
+        )(u1, u2, s1, s2, zz1, zz2, z1, z2, x1, y1, x2, y2, dx, dy, dz)
+
+    return run
+
+
+def point_add_staged(p_coords, q_coords, p_int: int, n0: int, block: int,
+                     interpret: bool):
+    arrs, batch_shape, n = _prep(list(p_coords) + list(q_coords), block)
+    run = _staged_add_fn(p_int, n0, block, interpret)
+    out = run(*arrs)
+    return _unprep(list(out), batch_shape, n)
+
+
 @functools.cache
 def _point_fns(p_int: int, n0_int: int, block: int, interpret: bool):
     from jax.experimental import pallas as pl
