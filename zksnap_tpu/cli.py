@@ -66,14 +66,11 @@ def cmd_keygen(args):
 
 
 def cmd_prove(args):
-    from .prover import gen_srs, load_pk, prove, proof_to_bytes
+    from .prover import load_pk, prove, proof_to_bytes
+    from .prover.plonk import rebind_witness
 
     ctx, instances = _build_circuit(args.circuit, args.k, args.seed)
-    pk = load_pk(args.pk)
-    # re-synthesized witness: rebuild layout from this ctx with same vk
-    from .prover import keygen
-
-    pk = keygen(ctx, args.k, gen_srs(args.k))
+    pk = rebind_witness(load_pk(args.pk), ctx)
     t0 = time.time()
     proof = prove(pk, instances)
     print(f"prove {time.time()-t0:.1f}s", file=sys.stderr)
