@@ -46,7 +46,7 @@ def test_fold_two_proofs(proofs):
     assert all(a is not None for a in accs)
     folded, as_proof = fold_accumulators(accs)
     assert decide(folded, srs.g2, srs.tau_g2)
-    assert len(as_proof) == 4  # 2 points per accumulator absorbed
+    assert as_proof == b""  # Gwc19 fold: pure Fiat-Shamir, no commitments
 
 
 def test_fold_detects_bad_accumulator(proofs):
@@ -63,9 +63,9 @@ def test_fold_detects_bad_accumulator(proofs):
 def test_tampered_proof_fails_succinct(proofs):
     srs, ps = proofs
     vk, inst, proof = ps[0]
-    bad = list(proof)
-    idx = next(i for i, (kind, _) in enumerate(bad) if kind == "scalar" and i > 5)
-    bad[idx] = ("scalar", (bad[idx][1] + 1))
-    acc = accumulator_from_proof(vk, inst, bad)
+    bad = bytearray(proof)
+    mid = (len(bad) // 2 // 32) * 32
+    bad[mid] ^= 1
+    acc = accumulator_from_proof(vk, inst, bytes(bad))
     # either the identity already fails (None) or the accumulator is invalid
     assert acc is None or not decide(acc, srs.g2, srs.tau_g2)

@@ -44,32 +44,34 @@ def test_prove_verify_roundtrip(small_proof, srs):
 
 def test_verify_rejects_wrong_instance(small_proof, srs):
     pk, proof = small_proof
-    with pytest.raises(AssertionError):
-        verify(pk.vk, srs.g2, srs.tau_g2, [69], proof)
+    assert not verify(pk.vk, srs.g2, srs.tau_g2, [69], proof)
 
 
 def test_verify_rejects_tampered_scalar(small_proof, srs):
+    """Flip one bit of an evaluation scalar in the middle of the stream."""
     pk, proof = small_proof
-    # find the first non-instance scalar (an evaluation) and flip it
-    bad = list(proof)
-    for i, (kind, v) in enumerate(bad):
-        if kind == "scalar" and i > 0 and bad[i - 1][0] != "scalar":
-            continue
-    # locate an eval scalar after the first point entries
-    idx = next(i for i, (kind, _) in enumerate(bad)
-               if kind == "scalar" and i > 5)
-    bad[idx] = ("scalar", (bad[idx][1] + 1) % (2**200))
-    assert not verify(pk.vk, srs.g2, srs.tau_g2, [68], bad)
+    bad = bytearray(proof)
+    mid = (len(bad) // 2 // 32) * 32  # start of a 32-byte element
+    bad[mid] ^= 1
+    assert not verify(pk.vk, srs.g2, srs.tau_g2, [68], bytes(bad))
 
 
 def test_verify_rejects_tampered_point(small_proof, srs):
+    """Replace the first committed point with a different valid point."""
     pk, proof = small_proof
-    bad = list(proof)
-    idx = next(i for i, (kind, _) in enumerate(bad) if kind == "point")
     from zksnap_tpu.curves import bn254_generator
 
-    bad[idx] = ("point", bad[idx][1] + bn254_generator())
+    g2x = bn254_generator() + bn254_generator()
+    bad = (g2x.x.to_bytes(32, "little") + g2x.y.to_bytes(32, "little")
+           + proof[64:])
     assert not verify(pk.vk, srs.g2, srs.tau_g2, [68], bad)
+
+
+def test_verify_rejects_truncated_and_garbage(small_proof, srs):
+    pk, proof = small_proof
+    assert not verify(pk.vk, srs.g2, srs.tau_g2, [68], proof[:-32])
+    assert not verify(pk.vk, srs.g2, srs.tau_g2, [68], proof + b"\x00" * 32)
+    assert not verify(pk.vk, srs.g2, srs.tau_g2, [68], b"\xff" * len(proof))
 
 
 def test_unsatisfied_witness_fails_early(srs):

@@ -44,6 +44,43 @@ def test_proof_bytes_roundtrip(setup):
     assert verify(pk.vk, srs.g2, srs.tau_g2, [42], back)
 
 
+def test_transcript_wire_format_vectors():
+    """Pins the proof wire format + absorption rule (transcript.py docstring):
+    32-byte LE scalars, 64-byte x||y points, instances absorbed unwritten,
+    points absorbed as LimbsEncoding<3,88>.  Any change to the encoding is a
+    breaking format change and must update these vectors knowingly."""
+    from zksnap_tpu.curves.native import BN254_G1, AffinePoint
+    from zksnap_tpu.prover.transcript import ByteReader, Transcript
+
+    tr = Transcript()
+    tr.absorb_scalar(5)
+    g = AffinePoint.generator(BN254_G1)
+    tr.write_point(g)
+    tr.write_scalar(123456789)
+    c1 = tr.challenge()
+    tr.write_point(AffinePoint.identity(BN254_G1))
+    c2 = tr.challenge()
+    raw = tr.proof()
+    assert len(raw) == 64 + 32 + 64
+    assert raw[:32] == g.x.to_bytes(32, "little")
+    assert raw[32:64] == g.y.to_bytes(32, "little")
+    assert raw[64:96] == (123456789).to_bytes(32, "little")
+    assert raw[96:160] == b"\x00" * 64  # identity encoding
+    assert c1 == 0x24108553bdef4cd9ee4b37760fe9014b2c628bed97d528f2297f09ad6bf659b
+    assert c2 == 0x19f38329f5388ccbcb70194b5bd6ea31a9d61476e57623614036de6fb45f757c
+
+    # replay through the reader reproduces the same challenges
+    tv = Transcript()
+    tv.absorb_scalar(5)
+    stream = ByteReader(raw)
+    assert tv.read_point(stream) == g
+    assert tv.read_scalar(stream) == 123456789
+    assert tv.challenge() == c1
+    assert tv.read_point(stream).is_identity()
+    assert tv.challenge() == c2
+    assert stream.done()
+
+
 def test_pk_vk_checkpoint_roundtrip(setup):
     srs, pk, proof = setup
     with tempfile.TemporaryDirectory() as d:

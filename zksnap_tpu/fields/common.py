@@ -49,9 +49,32 @@ def ints_to_limbs(xs, n_limbs: int = N_LIMBS) -> np.ndarray:
     return np.stack([int_to_limbs(x, n_limbs) for x in xs], axis=0)
 
 
+def ints_to_limbs_fast(xs, modulus: int | None = None) -> np.ndarray:
+    """List of python ints -> [len(xs), 16] uint32 limbs via a bytes blit.
+
+    ~10x faster than ints_to_limbs for large lists (one `to_bytes` per int
+    instead of 16 python shift/mask ops).  Optionally reduces mod `modulus`
+    first.  256-bit values only (n_limbs=16).
+    """
+    if modulus is None:
+        buf = b"".join(x.to_bytes(32, "little") for x in xs)
+    else:
+        buf = b"".join((x % modulus).to_bytes(32, "little") for x in xs)
+    arr = np.frombuffer(buf, dtype="<u2").reshape(len(xs), N_LIMBS)
+    return arr.astype(np.uint32)
+
+
 def limbs_to_ints(arr) -> list:
     """[..., n_limbs] -> flat list of python ints over leading dims."""
     arr = np.asarray(arr)
+    if arr.shape[-1] == N_LIMBS and arr.ndim >= 2:
+        flat = arr.reshape(-1, N_LIMBS)
+        if (flat >> LIMB_BITS).max(initial=0) == 0:  # canonical limbs
+            buf = flat.astype("<u2").tobytes()
+            return [
+                int.from_bytes(buf[i * 32 : (i + 1) * 32], "little")
+                for i in range(flat.shape[0])
+            ]
     flat = arr.reshape(-1, arr.shape[-1])
     return [limbs_to_int(row) for row in flat]
 

@@ -249,28 +249,40 @@ class PrimeField:
         return self.pow_const(a, self.p - 2)
 
     def batch_inv(self, a):
-        """Montgomery's trick over the leading axis: one inv + 3n muls.
+        """Batched inversion along the leading axis; zeros map to zeros.
 
-        a: [n, ..., 16]; zeros map to zeros.
+        Montgomery's trick, log-depth: Hillis-Steele prefix and suffix
+        product scans (2*log2(n) full-width muls), one Fermat inversion of
+        the total, then inv(a_i) = prefix_excl(i) * suffix_excl(i) *
+        inv(total).  The old sequential-scan variant was n dependent steps
+        of single-element muls -- pathological on TPU.
         """
         n = a.shape[0]
         zero_mask = self.is_zero(a)
-        a_safe = jnp.where(zero_mask[..., None], self.one, a)
+        one = jnp.broadcast_to(self.one, a.shape)
+        a_safe = jnp.where(zero_mask[..., None], one, a)
+        if n == 1:
+            inv = self.inv(a_safe)
+            return jnp.where(zero_mask[..., None], jnp.zeros_like(a), inv)
+        idx = jnp.arange(n).reshape((n,) + (1,) * (a.ndim - 1))
 
-        def fwd(acc, x):
-            nxt = self.mul(acc, x)
-            return nxt, acc
+        pref = a_safe
+        d = 1
+        while d < n:
+            sh = jnp.where(idx >= d, jnp.roll(pref, d, axis=0), one)
+            pref = self.mul(pref, sh)
+            d <<= 1
+        suf = a_safe
+        d = 1
+        while d < n:
+            sh = jnp.where(idx < n - d, jnp.roll(suf, -d, axis=0), one)
+            suf = self.mul(suf, sh)
+            d <<= 1
 
-        total, prefixes = jax.lax.scan(fwd, jnp.broadcast_to(self.one, a.shape[1:]), a_safe)
-        total_inv = self.inv(total)
-
-        def bwd(acc, xs):
-            x, prefix = xs
-            inv_x = self.mul(acc, prefix)
-            nxt = self.mul(acc, x)
-            return nxt, inv_x
-
-        _, invs = jax.lax.scan(bwd, total_inv, (a_safe, prefixes), reverse=True)
+        total_inv = self.inv(pref[-1])
+        pref_ex = jnp.concatenate([one[:1], pref[:-1]], axis=0)
+        suf_ex = jnp.concatenate([suf[1:], one[:1]], axis=0)
+        invs = self.mul(self.mul(pref_ex, suf_ex), total_inv[None])
         return jnp.where(zero_mask[..., None], jnp.zeros_like(a), invs)
 
     # -- misc ----------------------------------------------------------------

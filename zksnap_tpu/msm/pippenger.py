@@ -5,18 +5,22 @@ with the NTT; SURVEY.md section 3.2: advice/quotient commits + GWC open).
 
 TPU-first design (no data-dependent scatter loops):
   * window digits (c bits) are extracted from canonical scalar limbs with
-    static shifts;
-  * per window, (bucket_id, point) pairs are SORTED by bucket
-    (jax.lax.sort), bucket sums are computed with a SEGMENTED
-    ASSOCIATIVE SCAN whose combiner is the branchless Jacobian add
-    (log2(n) parallel rounds of point adds), and segment tails are
-    scattered into the bucket table;
-  * the weighted bucket reduction sum_b b*S_b is a reversed associative
-    scan (suffix sums) + a log2 tree reduction;
+    static shifts; ALL windows are processed in one flattened pipeline via
+    composite bucket ids (window << c | digit);
+  * bucket accumulation is WORK-EFFICIENT two-level: (bucket_id, point)
+    pairs are sorted by bucket (jax.lax.sort), laid out lane-major
+    [M lanes x K steps], and reduced with a SEQUENTIAL segmented scan over
+    K steps (lax.scan; each step is one full-width batched Jacobian add,
+    so total group-add work is O(n) instead of the O(n log n) of a
+    Hillis-Steele scan).  Segments crossing lane boundaries are fixed up
+    with a log2(M) associative lane-carry scan;
+  * the weighted bucket reduction sum_b b*S_b splits b = hi*Blo + lo:
+    two tree reductions (O(B) adds) plus two small double-suffix scans,
+    instead of a full-width O(B log B) suffix scan;
   * windows combine Horner-style with c doublings per step.
 
 Everything is static-shaped, so the whole MSM jit-compiles to one XLA
-program.  See msm/sharded.py for the multi-chip (psum) variant.
+program.  See parallel/sharded.py for the multi-chip (psum) variant.
 """
 
 from __future__ import annotations
@@ -47,62 +51,127 @@ def window_digits(scalars, c: int, w: int):
     return val.astype(jnp.int32)
 
 
-def _segmented_bucket_sums(ops: CurveOps, pts: JacPoint, ids, n_buckets: int):
-    """Sorted-segment bucket accumulation.
+def _take(p: JacPoint, axis: int, lo: int, hi: int) -> JacPoint:
+    sl = [slice(None)] * p.x.ndim
+    sl[axis] = slice(lo, hi)
+    sl = tuple(sl)
+    return JacPoint(p.x[sl], p.y[sl], p.z[sl])
+
+
+def _segmented_bucket_sums(ops: CurveOps, pts: JacPoint, ids, n_buckets: int,
+                           lanes: int | None = None):
+    """Work-efficient sorted-segment bucket accumulation.
 
     pts/ids: [n] points and their bucket ids (unsorted).
     Returns JacPoint [n_buckets] with the group sum of each bucket.
+
+    Two-level: sort by id, split the sorted array into M lanes of K
+    consecutive elements, run a sequential segmented scan down the lanes
+    (K steps of one width-M add each -- O(n) total adds), then resolve
+    segments that span lane boundaries with an associative carry scan
+    over the M lane summaries (log2(M) width-M adds).
     """
     n = ids.shape[0]
     order = jnp.argsort(ids)
     ids_s = ids[order]
     px, py, pz = pts.x[order], pts.y[order], pts.z[order]
 
-    # segment-start flags
+    if lanes is None:
+        M = min(n, 16384)
+    else:
+        M = min(n, lanes)
+    K = -(-n // M)
+    n_pad = M * K
+    pad = n_pad - n
+    if pad:
+        ids_s = jnp.concatenate(
+            [ids_s, jnp.full((pad,), n_buckets, ids_s.dtype)])
+        zpad = jnp.zeros((pad, N_LIMBS), jnp.uint32)
+        px = jnp.concatenate([px, zpad])
+        py = jnp.concatenate([py, zpad])
+        pz = jnp.concatenate([pz, zpad])  # z=0 -> identity
+
     prev = jnp.concatenate([jnp.full((1,), -1, ids_s.dtype), ids_s[:-1]])
-    flags = (ids_s != prev)
+    flags = ids_s != prev  # segment-start marks
 
-    # Segmented inclusive scan, Hillis-Steele style: log2(n) steps, each ONE
-    # full-width batched Jacobian add.  Expressed as a fori_loop with a
-    # dynamic roll so the (large) add body appears ONCE in the graph --
-    # compile time matters as much as run time for these kernels.
-    ident = ops.identity((n,))
-    rows = jnp.arange(n)
+    # lane-major: lane l owns sorted positions [l*K, (l+1)*K)
+    def to_km(a):
+        return jnp.moveaxis(a.reshape(M, K, *a.shape[1:]), 0, 1)
 
-    def seg_step(i, state):
-        sx, sy, sz, fs = state
+    pxk, pyk, pzk = to_km(px), to_km(py), to_km(pz)
+    flk = to_km(flags)
+
+    def step(acc, x):
+        fx, fy, fz, fl = x
+        s = ops.add(acc, JacPoint(fx, fy, fz))
+        keep = fl[:, None]
+        new = JacPoint(jnp.where(keep, fx, s.x), jnp.where(keep, fy, s.y),
+                       jnp.where(keep, fz, s.z))
+        return new, (new.x, new.y, new.z)
+
+    _, parts = jax.lax.scan(step, ops.identity((M,)), (pxk, pyk, pzk, flk))
+    parts_x, parts_y, parts_z = parts  # [K, M, 16] lane-local partial sums
+
+    # ---- lane-carry scan: resolve segments spanning lane boundaries ----
+    # summary of lane l: (trailing segment sum, had any segment start)
+    last = JacPoint(parts_x[-1], parts_y[-1], parts_z[-1])  # [M, 16]
+    has_flag = jnp.any(flk, axis=0)  # [M]
+    first_flag = flk[0]              # [M]
+    fid = ids_s.reshape(M, K)[:, 0]  # first id in each lane
+
+    # exclusive scan with combiner ((s1,f1),(s2,f2)) -> (f2 ? s2 : s1+s2,
+    # f1|f2): shift summaries right by one, neutral = (identity, False).
+    ident1 = ops.identity((1,))
+    sx = jnp.concatenate([ident1.x, last.x[:-1]])
+    sy = jnp.concatenate([ident1.y, last.y[:-1]])
+    sz = jnp.concatenate([ident1.z, last.z[:-1]])
+    f = jnp.concatenate([jnp.zeros((1,), bool), has_flag[:-1]])
+    rows = jnp.arange(M)
+
+    def carry_step(i, state):
+        sx, sy, sz, f = state
         d = jnp.left_shift(1, i)
-        valid = rows >= d  # rows < d have no left neighbour at distance d
+        valid = rows >= d
         shx = jnp.roll(sx, d, axis=0)
         shy = jnp.roll(sy, d, axis=0)
-        shz = jnp.roll(sz, d, axis=0)
-        shz = jnp.where(valid[:, None], shz, jnp.zeros_like(shz))  # -> identity
-        shf = jnp.where(valid, jnp.roll(fs, d, axis=0), True)
-        s = ops.add(JacPoint(shx, shy, shz), JacPoint(sx, sy, sz))
-        keep = fs[:, None]  # segment boundary within distance d: keep own
-        return (
-            jnp.where(keep, sx, s.x),
-            jnp.where(keep, sy, s.y),
-            jnp.where(keep, sz, s.z),
-            fs | shf,
-        )
+        shz = jnp.where(valid[:, None], jnp.roll(sz, d, axis=0), 0)
+        shf = jnp.where(valid, jnp.roll(f, d, axis=0), False)
+        comb = ops.add(JacPoint(shx, shy, shz), JacPoint(sx, sy, sz))
+        keep = f[:, None]  # own block already had a reset: keep own sum
+        return (jnp.where(keep, sx, comb.x), jnp.where(keep, sy, comb.y),
+                jnp.where(keep, sz, comb.z), f | shf)
 
-    sx, sy, sz, _ = jax.lax.fori_loop(
-        0, max(n.bit_length() - 1, 1), seg_step, (px, py, pz, flags)
-    )
+    n_rounds = max((M - 1).bit_length(), 1) if M > 1 else 0
+    if n_rounds:
+        sx, sy, sz, f = jax.lax.fori_loop(
+            0, n_rounds, carry_step, (sx, sy, sz, f))
+    carry = JacPoint(sx, sy, sz)  # carry[l] = trailing run sum of lanes < l
 
-    # tails: last element of each run
+    # lane l's first run needs its carry added exactly when the run both
+    # crosses into the lane (no flag at lane position 0) and ends inside
+    # it: a later flag in this lane, OR the next lane opening a new
+    # segment (run ends exactly at the lane boundary), OR l is final.
+    next_first = jnp.concatenate([first_flag[1:], jnp.ones((1,), bool)])
+    apply = (~first_flag) & (has_flag | next_first)
+    tgt_c = jnp.where(apply, fid, n_buckets)
+    ident_tab = ops.identity((n_buckets + 1,))
+    cx = ident_tab.x.at[tgt_c].set(carry.x)
+    cy = ident_tab.y.at[tgt_c].set(carry.y)
+    cz = ident_tab.z.at[tgt_c].set(carry.z)
+
+    # ---- tails: last element of each run carries the lane-local run sum
+    flat_x = jnp.moveaxis(parts_x, 0, 1).reshape(n_pad, N_LIMBS)
+    flat_y = jnp.moveaxis(parts_y, 0, 1).reshape(n_pad, N_LIMBS)
+    flat_z = jnp.moveaxis(parts_z, 0, 1).reshape(n_pad, N_LIMBS)
     nxt = jnp.concatenate([ids_s[1:], jnp.full((1,), -2, ids_s.dtype)])
     is_tail = ids_s != nxt
-    # scatter tails into bucket table (non-tails go to a trash slot)
     target = jnp.where(is_tail, ids_s, n_buckets)
-    ident = ops.identity((n_buckets + 1,))
-    bx = ident.x.at[target].set(sx)
-    by = ident.y.at[target].set(sy)
-    bz = ident.z.at[target].set(sz)
-    # drop trash slot (bucket 0 carries weight 0; the weighted reduce
-    # excludes it per-window, no masking needed)
-    return JacPoint(bx[:n_buckets], by[:n_buckets], bz[:n_buckets])
+    bx = ident_tab.x.at[target].set(flat_x)
+    by = ident_tab.y.at[target].set(flat_y)
+    bz = ident_tab.z.at[target].set(flat_z)
+
+    tot = ops.add(JacPoint(bx, by, bz), JacPoint(cx, cy, cz))
+    return _take(tot, 0, 0, n_buckets)
 
 
 def _suffix_scan(ops: CurveOps, pts: JacPoint) -> JacPoint:
@@ -128,24 +197,65 @@ def _suffix_scan(ops: CurveOps, pts: JacPoint) -> JacPoint:
     return JacPoint(sx, sy, sz)
 
 
-def _weighted_bucket_reduce(ops: CurveOps, buckets: JacPoint):
-    """sum_b b * S_b = (suffix o suffix)[..., 1]: two suffix scans along
-    the bucket axis (batched over any leading window axis).
-
+def _weighted_small(ops: CurveOps, buckets: JacPoint) -> JacPoint:
+    """sum_b b * S_b over the second-to-last axis via two suffix scans:
     suffix1[b] = sum_{b'>=b} S_b'; sum_{b>=1} suffix1[b] = suffix2[1]."""
     s1 = _suffix_scan(ops, buckets)
     s2 = _suffix_scan(ops, s1)
     return JacPoint(s2.x[..., 1, :], s2.y[..., 1, :], s2.z[..., 1, :])
 
 
-def msm_impl(ops: CurveOps, pts: JacPoint, scalars, c: int, n_windows: int):
+def _tree_reduce(ops: CurveOps, pts: JacPoint, axis: int) -> JacPoint:
+    """Plain group sum along `axis` (length a power of two) by halving."""
+    n = pts.x.shape[axis]
+    while n > 1:
+        half = n // 2
+        pts = ops.add(_take(pts, axis, 0, half), _take(pts, axis, half, n))
+        n = half
+    sl = [slice(None)] * pts.x.ndim
+    sl[axis] = 0
+    sl = tuple(sl)
+    return JacPoint(pts.x[sl], pts.y[sl], pts.z[sl])
+
+
+def _weighted_bucket_reduce(ops: CurveOps, buckets: JacPoint, c: int):
+    """sum_b b * S_b for each window (batched over the leading window axis).
+
+    For small windows uses the double-suffix scan directly; otherwise
+    splits b = hi * Blo + lo so the heavy O(B) work is two tree
+    reductions and only O(sqrt(B)) rows hit the log-cost suffix scans:
+      sum_b b*S_b = Blo * sum_hi hi*R1[hi] + sum_lo lo*R2[lo]
+      R1[hi] = sum_lo S[hi,lo],  R2[lo] = sum_hi S[hi,lo].
+    """
+    if c <= 6:
+        return _weighted_small(ops, buckets)
+    W = buckets.x.shape[0]
+    clo = c // 2
+    blo, bhi = 1 << clo, 1 << (c - clo)
+    t = JacPoint(
+        buckets.x.reshape(W, bhi, blo, N_LIMBS),
+        buckets.y.reshape(W, bhi, blo, N_LIMBS),
+        buckets.z.reshape(W, bhi, blo, N_LIMBS),
+    )
+    r1 = _tree_reduce(ops, t, 2)      # [W, bhi, 16]
+    r2 = _tree_reduce(ops, t, 1)      # [W, blo, 16]
+    w1 = _weighted_small(ops, r1)     # [W, 16]
+    w2 = _weighted_small(ops, r2)     # [W, 16]
+    for _ in range(clo):              # Blo * w1
+        w1 = ops.double(w1)
+    return ops.add(w1, w2)
+
+
+def msm_impl(ops: CurveOps, pts: JacPoint, scalars, c: int, n_windows: int,
+             lanes: int | None = None):
     """Full Pippenger: -> JacPoint (scalar batch shape ()).
 
     ALL windows are processed in one flattened pipeline: composite bucket
-    ids (window << c | digit) feed a single sort + segmented scan over
-    W*n elements (maximum batch width for the Pallas field kernels), the
-    per-window weighted reductions run batched over the window axis, and
-    only the cheap Horner double-chain is sequential."""
+    ids (window << c | digit) feed a single sort + two-level segmented
+    accumulation over W*n elements (maximum batch width for the Pallas
+    field kernels), the per-window weighted reductions run batched over
+    the window axis, and only the cheap Horner double-chain is sequential.
+    """
     n = scalars.shape[0]
     W, B = n_windows, 1 << c
     digits = jnp.stack([window_digits(scalars, c, w) for w in range(W)])
@@ -153,13 +263,14 @@ def msm_impl(ops: CurveOps, pts: JacPoint, scalars, c: int, n_windows: int):
     tiled = JacPoint(
         jnp.tile(pts.x, (W, 1)), jnp.tile(pts.y, (W, 1)), jnp.tile(pts.z, (W, 1))
     )
-    flat_buckets = _segmented_bucket_sums(ops, tiled, flat_ids, W * B)
+    flat_buckets = _segmented_bucket_sums(ops, tiled, flat_ids, W * B,
+                                          lanes=lanes)
     buckets = JacPoint(
         flat_buckets.x.reshape(W, B, -1),
         flat_buckets.y.reshape(W, B, -1),
         flat_buckets.z.reshape(W, B, -1),
     )
-    wsums = _weighted_bucket_reduce(ops, buckets)  # [W, 16] points
+    wsums = _weighted_bucket_reduce(ops, buckets, c)  # [W, 16] points
 
     # Horner over windows, MSB first
     rev = JacPoint(wsums.x[::-1], wsums.y[::-1], wsums.z[::-1])
@@ -177,16 +288,24 @@ class MSM:
 
     def __init__(self, ops: CurveOps, c: int | None = None):
         self.ops = ops
+        self.lanes = None  # bucket-accumulation lane count override
 
     def _pick_c(self, n: int) -> int:
-        # classic heuristic: c ~ log2(n) - 3, clamped to [4, 16]
-        return max(4, min(16, n.bit_length() - 4))
+        # minimize modeled group-add count: W*n accumulation + ~2*W*B
+        # reduction (+ lane-scan overhead, independent of c)
+        best, best_cost = 8, None
+        for c in range(6, 17):
+            w = -(-self.ops.F.bits // c)
+            cost = w * n + 2 * w * (1 << c)
+            if best_cost is None or cost < best_cost:
+                best, best_cost = c, cost
+        return best
 
     @functools.lru_cache(maxsize=32)
-    def _compiled(self, n: int, c: int, n_windows: int):
+    def _compiled(self, n: int, c: int, n_windows: int, lanes: int | None):
         return jax.jit(
             lambda px, py, pz, s: msm_impl(
-                self.ops, JacPoint(px, py, pz), s, c, n_windows
+                self.ops, JacPoint(px, py, pz), s, c, n_windows, lanes=lanes
             )
         )
 
@@ -195,7 +314,7 @@ class MSM:
         n = scalars.shape[0]
         c = c or self._pick_c(n)
         n_windows = -(-self.ops.F.bits // c)
-        fn = self._compiled(n, c, n_windows)
+        fn = self._compiled(n, c, n_windows, self.lanes)
         return fn(pts.x, pts.y, pts.z, scalars)
 
 

@@ -27,7 +27,7 @@ class KzgAccumulator:
 
 
 def accumulator_from_proof(vk: VerifyingKey, instances: list[int],
-                           proof: list) -> KzgAccumulator | None:
+                           proof: bytes) -> KzgAccumulator | None:
     """PlonkSuccinctVerifier::verify equivalent: algebraic checks now,
     pairing deferred into the accumulator."""
     res = verify_succinct(vk, instances, proof)
@@ -37,16 +37,17 @@ def accumulator_from_proof(vk: VerifyingKey, instances: list[int],
     return KzgAccumulator(lhs=tau_side, rhs=g2_side)
 
 
-def fold_accumulators(accs: list[KzgAccumulator]) -> tuple[KzgAccumulator, list]:
+def fold_accumulators(accs: list[KzgAccumulator]) -> tuple[KzgAccumulator, bytes]:
     """As::create_proof: absorb all accumulators, squeeze r, RLC-combine.
 
-    Returns (folded, as_proof) where as_proof is the transcript log (the
-    in-circuit verifier will replay it; for Gwc19 it carries no extra
-    commitments, only the Fiat-Shamir binding)."""
+    Returns (folded, as_proof); for Gwc19 the As proof carries no extra
+    commitments -- the fold challenge is pure Fiat-Shamir over the input
+    accumulators (absorbed as limb encodings, which is exactly what the
+    in-circuit fold replays), so as_proof is empty."""
     tr = Transcript()
     for acc in accs:
-        tr.write_point(acc.lhs)
-        tr.write_point(acc.rhs)
+        tr.absorb_point(acc.lhs)
+        tr.absorb_point(acc.rhs)
     r = tr.challenge()
     from ..fields.field import bn254_fr
 

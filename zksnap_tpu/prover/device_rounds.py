@@ -1,0 +1,183 @@
+"""Device-side prover round computations (logUp helper h, permutation
+grand products Z, omega power tables).
+
+Replaces the pure-python per-row loops `_compute_h` / `_compute_z_chunks`
+in prover/plonk.py (the round-1 host bottleneck flagged in VERDICT.md
+"What's weak" #3) with jitted limb-tensor programs:
+
+  * denominators inverted with the log-depth `PrimeField.batch_inv`;
+  * running sums / grand products as Hillis-Steele prefix scans
+    (log2(n) full-width adds/muls instead of n python-int ops);
+  * the PERM_CHUNK chaining (halo2-style chained Z polys,
+    prover/plonk.py docstring) handled with an unrolled exclusive
+    product over the (small) chunk axis.
+
+Reference parity: halo2_proofs lookup::prover / permutation::prover
+(create_proof internals, SURVEY.md section 3.2) -- same committed
+polynomials, TPU-native computation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.common import N_LIMBS
+from ..fields.field import bn254_fr
+
+FR = bn254_fr()
+
+
+@functools.cache
+def _omega_pows_dev(k: int):
+    """[n,16] Montgomery table of omega^i for the size-2^k domain.
+
+    Computed on device from the bit decomposition of i: log2(n) full-width
+    muls (omega^(2^b) factors selected per bit).
+    """
+    from ..poly.domain import domain
+
+    omega = domain(k).omega
+    n = 1 << k
+
+    @jax.jit
+    def build():
+        acc = jnp.broadcast_to(jnp.asarray(FR.one), (n, N_LIMBS))
+        idx = jnp.arange(n)
+        for b in range(k):
+            w2b = jnp.asarray(FR.const_np(pow(omega, 1 << b, FR.p)))
+            fac = jnp.where(
+                ((idx >> b) & 1)[:, None].astype(bool),
+                jnp.broadcast_to(w2b, (n, N_LIMBS)),
+                jnp.broadcast_to(jnp.asarray(FR.one), (n, N_LIMBS)),
+            )
+            acc = FR.mul(acc, fac)
+        return acc
+
+    return build()
+
+
+def _prefix_op(op, x, identity, axis: int = 0):
+    """Inclusive Hillis-Steele scan with `op` along `axis` (log2 rounds)."""
+    n = x.shape[axis]
+    idx_shape = [1] * x.ndim
+    idx_shape[axis] = n
+    idx = jnp.arange(n).reshape(idx_shape)
+    d = 1
+    while d < n:
+        sh = jnp.where(idx >= d, jnp.roll(x, d, axis=axis), identity)
+        x = op(x, sh)
+        d <<= 1
+    return x
+
+
+@functools.lru_cache(maxsize=32)
+def _compute_h_fn(k: int, n_lookup: int):
+    n = 1 << k
+
+    def f(lookups, table, mult, beta_lk):
+        # lookups: [n_lookup, n, 16]; table/mult: [n, 16]; beta_lk: [16]
+        # (all Montgomery)
+        bl = jnp.broadcast_to(beta_lk, (n, N_LIMBS))
+        dens = [FR.add(lookups[j], bl) for j in range(n_lookup)]
+        dens.append(FR.add(table, bl))
+        invs = FR.batch_inv(jnp.stack(dens).reshape(-1, N_LIMBS))
+        invs = invs.reshape(n_lookup + 1, n, N_LIMBS)
+        step = invs[0]
+        for j in range(1, n_lookup):
+            step = FR.add(step, invs[j])
+        step = FR.sub(step, FR.mul(mult, invs[n_lookup]))
+        zero = jnp.zeros((n, N_LIMBS), jnp.uint32)
+        incl = _prefix_op(FR.add, step, zero)
+        # h[0] = 0, h[i] = sum_{j<i} step[j]; closure = incl[-1] (must be 0)
+        h = jnp.concatenate([zero[:1], incl[:-1]], axis=0)
+        return h, incl[-1]
+
+    return jax.jit(f)
+
+
+def compute_h_dev(k: int, lookup_devs: list, table_dev, mult_dev,
+                  beta_lk: int):
+    """Device logUp helper column (Montgomery [n,16]) + closure residue.
+
+    Same recurrence as the host `_compute_h` (prover/plonk.py):
+    h[i+1] = h[i] + sum_j 1/(b+L_j[i]) - m[i]/(b+T[i]).
+    """
+    fn = _compute_h_fn(k, len(lookup_devs))
+    h, last = fn(jnp.stack(lookup_devs), table_dev, mult_dev,
+                 jnp.asarray(FR.const(beta_lk)))
+    return h, last
+
+
+@functools.lru_cache(maxsize=32)
+def _compute_z_fn(k: int, usable: int, n_perm: int, n_z: int,
+                  chunk_sizes: tuple, deltas: tuple):
+    n = 1 << k
+    u = usable
+
+    def f(cols, sigmas, om, beta, gamma):
+        # cols/sigmas: [n_perm, n, 16] Montgomery; om: [n,16] omega powers
+        # (passed in, NOT computed here: _omega_pows_dev is functools.cached
+        # and calling it under this trace would cache a tracer);
+        # beta/gamma: [16]
+        bg = jnp.broadcast_to(gamma, (n, N_LIMBS))
+        lhs, rhs = [], []
+        for j in range(n_perm):
+            bd = FR.mul(beta, jnp.asarray(FR.const_np(deltas[j])))
+            lhs.append(FR.add(FR.add(cols[j], FR.mul(
+                jnp.broadcast_to(bd, (n, N_LIMBS)), om)), bg))
+            rhs.append(FR.add(FR.add(cols[j], FR.mul(
+                jnp.broadcast_to(beta, (n, N_LIMBS)), sigmas[j])), bg))
+        # per-chunk products over the (<= PERM_CHUNK) columns
+        nums, dens = [], []
+        j0 = 0
+        for sz in chunk_sizes:
+            num, den = lhs[j0], rhs[j0]
+            for j in range(j0 + 1, j0 + sz):
+                num = FR.mul(num, lhs[j])
+                den = FR.mul(den, rhs[j])
+            nums.append(num[:u])
+            dens.append(den[:u])
+            j0 += sz
+        den_inv = FR.batch_inv(jnp.stack(dens).reshape(-1, N_LIMBS))
+        den_inv = den_inv.reshape(n_z, u, N_LIMBS)
+        ratio = FR.mul(jnp.stack(nums), den_inv)  # [n_z, u, 16]
+        one = jnp.broadcast_to(jnp.asarray(FR.one), ratio.shape)
+        incl = _prefix_op(FR.mul, ratio, one, axis=1)  # [n_z, u, 16]
+        # chunk carries: carry_0 = 1, carry_{c+1} = carry_c * incl[c, u-1]
+        carries = [jnp.asarray(FR.one)]
+        for c in range(n_z):
+            carries.append(FR.mul(carries[-1], incl[c, u - 1]))
+        zs = []
+        for c in range(n_z):
+            cc = jnp.broadcast_to(carries[c], (1, N_LIMBS))
+            body = FR.mul(incl[c], cc)  # z_c[1..u]
+            tail = jnp.broadcast_to(carries[c + 1], (n - u - 1, N_LIMBS))
+            zs.append(jnp.concatenate([cc, body, tail], axis=0))
+        return jnp.stack(zs), carries[n_z]  # closure must be 1
+
+    return jax.jit(f)
+
+
+def compute_z_dev(layout, cols_dev: list, sigma_devs: list, beta: int,
+                  gamma: int):
+    """Device chained permutation grand products.
+
+    cols_dev: Montgomery [n,16] per involved column (same order as
+    layout.perm_columns); sigma_devs: the keygen sigma columns
+    (pk.fixed_dev["sigma_j"]).  Returns ([n_z, n, 16], closure) where
+    closure must equal 1 in Montgomery form.
+    """
+    from .keygen import PERM_CHUNK
+
+    n_perm = len(layout.perm_columns)
+    chunk_sizes = tuple(
+        min(PERM_CHUNK, n_perm - c) for c in range(0, n_perm, PERM_CHUNK))
+    fn = _compute_z_fn(layout.k, layout.usable, n_perm, len(chunk_sizes),
+                       chunk_sizes, tuple(layout.deltas))
+    return fn(jnp.stack(cols_dev), jnp.stack(sigma_devs),
+              _omega_pows_dev(layout.k),
+              jnp.asarray(FR.const(beta)), jnp.asarray(FR.const(gamma)))

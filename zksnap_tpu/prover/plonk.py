@@ -199,7 +199,7 @@ def rebind_witness(pk: ProvingKey, ctx: Context) -> ProvingKey:
                       fixed_dev=pk.fixed_dev)
 
 
-def prove(pk: ProvingKey, instances: list[int]) -> list:
+def prove(pk: ProvingKey, instances: list[int]) -> bytes:
     layout = pk.layout
     n, k = layout.n, layout.k
     ops = bn254_ops()
@@ -209,7 +209,7 @@ def prove(pk: ProvingKey, instances: list[int]) -> list:
 
     tr = Transcript()
     for v in instances:
-        tr.write_scalar(v)  # binds instances into Fiat-Shamir
+        tr.absorb_scalar(v)  # binds instances into Fiat-Shamir (not written)
 
     # -- round 1: commit witness columns ------------------------------------
     advice_dev = [to_device_poly(c) for c in layout.advice_cols]
@@ -231,11 +231,37 @@ def prove(pk: ProvingKey, instances: list[int]) -> list:
     beta = tr.challenge()
     gamma = tr.challenge()
 
-    # -- round 2: logUp helper h + chunked grand products -------------------
-    h_vals = _compute_h(layout, beta_lk)
-    z_chunks = _compute_z_chunks(layout, beta, gamma, omega)
-    h_dev = to_device_poly(h_vals)
-    z_devs = [to_device_poly(z) for z in z_chunks]
+    # -- round 2: logUp helper h + chunked grand products (device) ----------
+    from .device_rounds import compute_h_dev, compute_z_dev
+
+    if layout.n_lookup:
+        h_dev, h_closure = compute_h_dev(
+            k, lookup_dev, pk.fixed_dev["table"], m_dev, beta_lk)
+    else:
+        h_dev = jnp.zeros((n, 16), jnp.uint32)
+        h_closure = None
+    cols_dev = []
+    for kind, c in layout.perm_columns:
+        if kind == "advice":
+            cols_dev.append(advice_dev[c])
+        elif kind == "lookup":
+            cols_dev.append(lookup_dev[c])
+        elif kind == "const":
+            cols_dev.append(pk.fixed_dev["const"])
+        else:
+            cols_dev.append(inst_dev)
+    sigma_devs = [pk.fixed_dev[f"sigma_{j}"]
+                  for j in range(len(layout.perm_columns))]
+    z_stack, z_closure = compute_z_dev(layout, cols_dev, sigma_devs,
+                                       beta, gamma)
+    z_devs = [z_stack[c] for c in range(z_stack.shape[0])]
+    # one small readback checks both closure identities
+    if h_closure is not None:
+        assert not np.asarray(jax.device_get(h_closure)).any(), \
+            "logUp multiplicity mismatch"
+    assert np.array_equal(np.asarray(jax.device_get(z_closure)),
+                          np.asarray(FR.one)), \
+        "chained permutation product does not close"
     tr.write_point(commit(h_dev))
     for zd in z_devs:
         tr.write_point(commit(zd))
@@ -573,7 +599,7 @@ def _quotient_kernel(k, e_log, n_advice, n_lookup, n_perm, usable, deltas,
 # ---------------------------------------------------------------------------
 
 def verify(vk: VerifyingKey, srs_g2, srs_tau_g2, instances: list[int],
-           proof: list) -> bool:
+           proof: bytes) -> bool:
     """Full verification: succinct check + pairing decision."""
     res = verify_succinct(vk, instances, proof)
     if res is None:
@@ -585,20 +611,28 @@ def verify(vk: VerifyingKey, srs_g2, srs_tau_g2, instances: list[int],
     ])
 
 
-def verify_succinct(vk: VerifyingKey, instances: list[int], proof: list):
+def verify_succinct(vk: VerifyingKey, instances: list[int], proof: bytes):
     """Everything except the pairing: transcript replay + identity check +
     GWC aggregation.  Returns (lhs, rhs) G1 points such that the proof is
     valid iff e(rhs, [tau]G2) == e(lhs, G2) -- i.e. a KZG accumulator
     (snark-verifier `PlonkSuccinctVerifier::verify` equivalent,
-    wrapper.rs:445-471).  None if the algebraic identity fails."""
+    wrapper.rs:445-471).  None if the proof is malformed or the algebraic
+    identity fails."""
+    try:
+        return _verify_succinct(vk, instances, proof)
+    except ValueError:
+        return None  # malformed stream (truncated, bad point/scalar encoding)
+
+
+def _verify_succinct(vk: VerifyingKey, instances: list[int], proof: bytes):
+    from .transcript import ByteReader
+
     n = 1 << vk.k
     omega = vk.omega
-    stream = iter(proof)
+    stream = ByteReader(proof)
     tr = Transcript()
     for v in instances:
-        tr.write_scalar(v)
-        kind, s = next(stream)
-        assert kind == "scalar" and s == v % P, "instance mismatch in proof"
+        tr.absorb_scalar(v)
 
     comm = dict(vk.commitments)
     for i in range(vk.n_advice):
@@ -721,6 +755,9 @@ def verify_succinct(vk: VerifyingKey, instances: list[int], proof: list):
         lhs_acc = lhs_acc + u_pow * term
         rhs_acc = rhs_acc + u_pow * w
         u_pow = u_pow * u_ch % P
+
+    if not stream.done():
+        return None  # trailing bytes -> not a valid proof of this shape
 
     # W*(tau - p) = f - e  =>  e(W, [tau]G2) = e(F + pW - eG, G2)
     return lhs_acc, rhs_acc

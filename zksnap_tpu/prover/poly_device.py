@@ -34,11 +34,26 @@ from ..poly.ntt import _ntt_impl, _bitrev_perm
 FR = bn254_fr()
 
 
+@functools.lru_cache(maxsize=8)
+def _to_mont_fn(n: int):
+    r2 = FR.const_np(FR.R)  # R^2 in "Montgomery form of R" = R*R mod p
+
+    def f(canon):
+        return FR.mul(canon, jnp.asarray(r2)[None, :])
+
+    return jax.jit(f)
+
+
 def to_device_poly(values: list[int]):
-    """Host python-int evaluations -> device Montgomery limb tensor [n, 16]."""
-    return jnp.asarray(
-        ints_to_limbs([v % FR.p * FR.R % FR.p for v in values])
-    )
+    """Host python-int evaluations -> device Montgomery limb tensor [n, 16].
+
+    Conversion cost: one `to_bytes` per int host-side (vectorized blit),
+    then a single device mul by R^2 does the Montgomery lift.
+    """
+    from ..fields.common import ints_to_limbs_fast
+
+    canon = ints_to_limbs_fast(values, FR.p)
+    return _to_mont_fn(len(values))(jnp.asarray(canon))
 
 
 # -- KZG commitments ---------------------------------------------------------

@@ -50,7 +50,7 @@ class Snark:
 
     vk: VerifyingKey
     instances: list[int]
-    proof: list
+    proof: bytes
 
 
 class RecursionChain:

@@ -5,10 +5,10 @@ pk/vk checkpointing of wrapper.rs:967-989 (`build/voter_pk.bin` etc.,
 written with `SerdeFormat::RawBytesUnchecked` -- i.e. trusted local
 caches; same trust model here).
 
-Proof wire format: sequence of tagged elements
-  0x00 | 32-byte LE scalar
-  0x01 | 32-byte LE x | 32-byte LE y      (finite point)
-  0x02                                     (identity point)
+Proof wire format: proofs ARE bytes (prover/transcript.py docstring: 32-byte
+LE scalars, 64-byte x||y points, identity = zeros, no tags -- the verifying
+key determines the shape).  The two helpers below are identity functions
+kept for API stability from when proofs were structured logs.
 """
 
 from __future__ import annotations
@@ -16,44 +16,14 @@ from __future__ import annotations
 import os
 import pickle
 
-from ..curves.native import BN254_G1, AffinePoint
+
+def proof_to_bytes(proof: bytes) -> bytes:
+    assert isinstance(proof, (bytes, bytearray))
+    return bytes(proof)
 
 
-def proof_to_bytes(proof: list) -> bytes:
-    out = bytearray()
-    for kind, v in proof:
-        if kind == "scalar":
-            out.append(0x00)
-            out += int(v).to_bytes(32, "little")
-        else:
-            if v.is_identity():
-                out.append(0x02)
-            else:
-                out.append(0x01)
-                out += int(v.x).to_bytes(32, "little")
-                out += int(v.y).to_bytes(32, "little")
-    return bytes(out)
-
-
-def proof_from_bytes(data: bytes) -> list:
-    out = []
-    i = 0
-    while i < len(data):
-        tag = data[i]
-        i += 1
-        if tag == 0x00:
-            out.append(("scalar", int.from_bytes(data[i : i + 32], "little")))
-            i += 32
-        elif tag == 0x01:
-            x = int.from_bytes(data[i : i + 32], "little")
-            y = int.from_bytes(data[i + 32 : i + 64], "little")
-            out.append(("point", AffinePoint(BN254_G1, x, y)))
-            i += 64
-        elif tag == 0x02:
-            out.append(("point", AffinePoint.identity(BN254_G1)))
-        else:
-            raise ValueError(f"bad proof tag {tag} at offset {i-1}")
-    return out
+def proof_from_bytes(data: bytes) -> bytes:
+    return bytes(data)
 
 
 def save_pk(pk, path: str):
