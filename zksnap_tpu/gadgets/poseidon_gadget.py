@@ -25,6 +25,10 @@ class PoseidonGadget:
         x4 = ctx.mul(x2, x2)
         return ctx.mul(x4, x)
 
+    def permute(self, state: list[Cell]) -> list[Cell]:
+        """Public full permutation (used by the transcript gadget sponge)."""
+        return self._permute(state)
+
     def _permute(self, state: list[Cell]) -> list[Cell]:
         ctx, spec = self.ctx, self.spec
         t, half_f = spec.t, spec.r_f // 2

@@ -150,7 +150,7 @@ def keygen(ctx: Context, k: int, srs: SRS | None = None) -> ProvingKey:
         n_lookup=layout.n_lookup, lookup_bits=layout.lookup_bits,
         n_perm=n_perm, n_z=n_z, usable=layout.usable,
         deltas=layout.deltas,
-        num_instance=len(layout.instance_col),
+        num_instance=len(ctx.instance),
         commitments=commitments, omega=domain(k).omega,
     )
     return ProvingKey(vk=vk, layout=layout, srs=srs, fixed_dev=fixed_dev)

@@ -43,9 +43,15 @@ class LookupTable:
 class Context:
     """One proving thread's trace (flat advice vector + gate selectors)."""
 
-    def __init__(self, F: PrimeField | None = None, lookup_bits: int = 14):
+    def __init__(self, F: PrimeField | None = None, lookup_bits: int = 14,
+                 assert_witness: bool = True):
+        """assert_witness=False records constraints WITHOUT asserting the
+        witness satisfies them -- used for dummy-snark keygen synthesis
+        (the reference's CsProxy, wrapper.rs:187-234), where only the
+        circuit SHAPE matters and the witness is protocol-shaped garbage."""
         self.F = F or bn254_fr()
         self.p = self.F.p
+        self.assert_witness = assert_witness
         self.advice: list[int] = []          # cell values
         self.gate_offsets: list[int] = []    # rows where the basic gate is on
         self.copies: list[tuple[int, int]] = []   # equality constraints
@@ -73,7 +79,7 @@ class Context:
         return self.load_constant(0)
 
     def constrain_equal(self, a: Cell, b: Cell):
-        assert a.value == b.value, (
+        assert not self.assert_witness or a.value == b.value, (
             f"constrain_equal witness mismatch: {a.value} != {b.value}")
         self.copies.append((a.idx, b.idx))
 
@@ -181,7 +187,8 @@ class Context:
 
     def range_check(self, a: Cell, bits: int):
         """Constrain 0 <= a < 2^bits via lookup_bits-wide limb decomposition."""
-        assert a.value < (1 << bits), f"range_check witness too large"
+        assert not self.assert_witness or a.value < (1 << bits), \
+            "range_check witness too large"
         lb = self.lookup_bits
         n_limbs = -(-bits // lb)
         rem = bits - (n_limbs - 1) * lb  # width of the top limb
