@@ -65,7 +65,9 @@ def main():
         bits = jnp.stack([(idx >> (16 - b)) & 1 for b in range(17)], axis=-1)
         return ops.scalar_mul(g, bits)
 
-    pts = make_points()
+    # normalize to affine-or-identity: the MSM's bucket-accumulation scan
+    # streams points through the mixed add (z must be 0 or Montgomery 1)
+    pts = jax.jit(lambda: ops.normalize(make_points()))()
     sync(pts.z[:1])
 
     key = jax.random.PRNGKey(0)

@@ -90,4 +90,5 @@ def test_pk_vk_checkpoint_roundtrip(setup):
         vk2 = load_vk(os.path.join(d, "vk.bin"))
     proof2 = prove(pk2, [42])
     assert verify(vk2, srs.g2, srs.tau_g2, [42], proof2)
-    assert proof_to_bytes(proof2) == proof_to_bytes(proof)  # deterministic
+    # ZK blinding: two proofs of the same witness must differ (hiding)
+    assert proof_to_bytes(proof2) != proof_to_bytes(proof)

@@ -1,0 +1,464 @@
+"""Fused Pallas point-addition kernels (the MSM hot path).
+
+One kernel call per batched group op instead of ~30 field-kernel
+launches: the entire add formula (every Montgomery mul, the carry
+chains, the completeness selects) runs out of VMEM.  This is the fix
+for round 1's MSM bottleneck (VERDICT.md "What's weak" #1): the fused
+add there was a fully-unrolled per-limb-row body (~50k ops) that
+wedged the Mosaic compiler; here every field op works on stacked
+[16, W] tiles with static pad-shifts instead of per-row lists, which
+measured ~0.75 s compile and ~0.5 ms runtime per dependent mul at
+2^18 lanes (scripts/exp_mul_variants.py on v5e).
+
+Kernels (all complete group laws, branchless selects):
+  * jac_madd  -- Jacobian += {affine | identity}; madd-2007-bl + fused
+                 dbl-2009-l fallback (~17 muls).  Used by the Pippenger
+                 bucket-accumulation scan where the streamed operand is
+                 always an (affine) base point.
+  * jac_add   -- Jacobian + Jacobian; add-2007-bl + dbl fallback
+                 (~21 muls).  Used by bucket/window reductions.
+  * jac_dbl   -- dbl-2009-l (~7 muls).
+
+Replaces the group-op inner loops of halo2curves / halo2_proofs
+`best_multiexp` (SURVEY.md section 2.2 rows 1-2).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.common import LIMB_BITS, LIMB_MASK, N_LIMBS, int_to_limbs
+
+_MASK = np.uint32(LIMB_MASK)
+_NROWS = 2 * N_LIMBS + 1
+
+
+# --------------------------------------------------------------------------
+# In-kernel field helpers.  All values are [16, W] uint32 canonical
+# Montgomery limb stacks (limb index on the sublane axis).
+# --------------------------------------------------------------------------
+
+def _shifted(rows, i):
+    """Pad [16, W] rows into [_NROWS, W] so row j lands at row i+j."""
+    return jnp.pad(rows, ((i, _NROWS - N_LIMBS - i), (0, 0)))
+
+
+def _cond_sub_p(out_rows, ge_extra, p_rows):
+    """Subtract p from the 16 row-vectors where (ge_extra | rows >= p)."""
+    eq = jnp.ones_like(ge_extra)
+    gt = jnp.zeros_like(ge_extra)
+    for i in range(N_LIMBS - 1, -1, -1):
+        gt = gt | (eq & (out_rows[i] > p_rows[i]))
+        eq = eq & (out_rows[i] == p_rows[i])
+    ge = ge_extra | gt | eq
+    borrow = jnp.zeros_like(out_rows[0])
+    res = []
+    for i in range(N_LIMBS):
+        t = out_rows[i] - p_rows[i] - borrow
+        nb = (t >> 31) & 1
+        res.append(jnp.where(ge, (t + (nb << LIMB_BITS)) & _MASK, out_rows[i]))
+        borrow = nb
+    return jnp.stack(res)
+
+
+class _FieldK:
+    """Field ops for use inside a Pallas kernel body."""
+
+    def __init__(self, p_col, p_limbs: np.ndarray, n0: int):
+        self.p_col = p_col                    # [16, 1] traced (kernel input)
+        self.p_rows = [np.uint32(v) for v in p_limbs]
+        self.n0 = np.uint32(n0)
+
+    def mul(self, a, b):
+        """Montgomery product, canonical result.  ~100 stacked-tile ops."""
+        cols = jnp.zeros((_NROWS, a.shape[1]), jnp.uint32)
+        for i in range(N_LIMBS):
+            prod = a[i][None, :] * b
+            cols = (cols + _shifted(prod & _MASK, i)
+                    + _shifted(prod >> LIMB_BITS, i + 1))
+        for i in range(N_LIMBS):
+            m = (cols[i] * self.n0) & _MASK
+            prod = m[None, :] * self.p_col
+            cols = (cols + _shifted(prod & _MASK, i)
+                    + _shifted(prod >> LIMB_BITS, i + 1))
+            cols = cols + jnp.pad((cols[i] >> LIMB_BITS)[None, :],
+                                  ((i + 1, _NROWS - i - 2), (0, 0)))
+        carry = jnp.zeros_like(cols[0])
+        out = []
+        for i in range(N_LIMBS):
+            tot = cols[N_LIMBS + i] + carry
+            out.append(tot & _MASK)
+            carry = tot >> LIMB_BITS
+        return _cond_sub_p(out, (carry + cols[2 * N_LIMBS]) > 0, self.p_rows)
+
+    def sqr(self, a):
+        return self.mul(a, a)
+
+    def add(self, a, b):
+        carry = jnp.zeros_like(a[0])
+        s = []
+        for i in range(N_LIMBS):
+            tot = a[i] + b[i] + carry
+            s.append(tot & _MASK)
+            carry = tot >> LIMB_BITS
+        return _cond_sub_p(s, carry > 0, self.p_rows)
+
+    def dbl(self, a):
+        return self.add(a, a)
+
+    def sub(self, a, b):
+        borrow = jnp.zeros_like(a[0])
+        d = []
+        for i in range(N_LIMBS):
+            t = a[i] - b[i] - borrow
+            nb = (t >> 31) & 1
+            d.append((t + (nb << LIMB_BITS)) & _MASK)
+            borrow = nb
+        under = borrow > 0
+        carry = jnp.zeros_like(a[0])
+        res = []
+        for i in range(N_LIMBS):
+            tot = d[i] + self.p_rows[i] + carry
+            res.append(jnp.where(under, tot & _MASK, d[i]))
+            carry = tot >> LIMB_BITS
+        return jnp.stack(res)
+
+    def is_zero(self, a):
+        """-> [W] bool."""
+        acc = a[0]
+        for i in range(1, N_LIMBS):
+            acc = acc | a[i]
+        return acc == 0
+
+    def select(self, cond, a, b):
+        """cond: [W] bool -> where(cond, a, b) rowwise."""
+        return jnp.where(cond[None, :], a, b)
+
+
+def _dbl_body(F: _FieldK, x, y, z):
+    """dbl-2009-l (a=0).  Identity (z=0) doubles to z=0."""
+    A = F.sqr(x)
+    B = F.sqr(y)
+    C = F.sqr(B)
+    t = F.sqr(F.add(x, B))
+    D = F.dbl(F.sub(F.sub(t, A), C))
+    E = F.add(F.dbl(A), A)
+    FF = F.sqr(E)
+    X3 = F.sub(FF, F.dbl(D))
+    Y3 = F.sub(F.mul(E, F.sub(D, X3)), F.dbl(F.dbl(F.dbl(C))))
+    Z3 = F.dbl(F.mul(y, z))
+    return X3, Y3, Z3
+
+
+def _add_body(F: _FieldK, x1, y1, z1, x2, y2, z2, mixed: bool):
+    """Complete add.  mixed=True assumes z2 in {0, 1} (affine stream),
+    skipping z2^2/z2^3 muls (madd-2007-bl)."""
+    z1z1 = F.sqr(z1)
+    if mixed:
+        u1 = x1
+        s1 = y1
+        u2 = F.mul(x2, z1z1)
+        s2 = F.mul(F.mul(y2, z1), z1z1)
+    else:
+        z2z2 = F.sqr(z2)
+        u1 = F.mul(x1, z2z2)
+        u2 = F.mul(x2, z1z1)
+        s1 = F.mul(F.mul(y1, z2), z2z2)
+        s2 = F.mul(F.mul(y2, z1), z1z1)
+    h = F.sub(u2, u1)
+    r = F.sub(s2, s1)
+
+    i = F.sqr(F.dbl(h))
+    j = F.mul(h, i)
+    r2 = F.dbl(r)
+    v = F.mul(u1, i)
+    x3 = F.sub(F.sub(F.sqr(r2), j), F.dbl(v))
+    y3 = F.sub(F.mul(r2, F.sub(v, x3)), F.dbl(F.mul(s1, j)))
+    if mixed:
+        z3 = F.mul(F.dbl(z1), h)
+    else:
+        z3 = F.mul(F.sub(F.sub(F.sqr(F.add(z1, z2)), z1z1), z2z2), h)
+
+    dx, dy, dz = _dbl_body(F, x1, y1, z1)
+
+    h_zero = F.is_zero(h)
+    r_zero = F.is_zero(r)
+    p_inf = F.is_zero(z1)
+    q_inf = F.is_zero(z2)
+
+    use_dbl = h_zero & r_zero & ~p_inf & ~q_inf
+    to_inf = h_zero & ~r_zero & ~p_inf & ~q_inf
+
+    x = F.select(use_dbl, dx, x3)
+    y = F.select(use_dbl, dy, y3)
+    z = F.select(use_dbl, dz, z3)
+    z = F.select(to_inf, jnp.zeros_like(z), z)
+    x = F.select(q_inf, x1, F.select(p_inf, x2, x))
+    y = F.select(q_inf, y1, F.select(p_inf, y2, y))
+    z = F.select(q_inf, z1, F.select(p_inf, z2, z))
+    return x, y, z
+
+
+# --------------------------------------------------------------------------
+# pallas_call plumbing
+# --------------------------------------------------------------------------
+
+# On CPU the kernel BODIES run directly as jitted jnp on the stacked
+# [16, W] layout (bit-identical math, no Pallas interpreter): the
+# interpreter re-lowers the ~3k-op body per distinct width, which makes
+# the test suite pathologically slow.  Set ZKSNAP_TPU_PALLAS_INTERP=1 to
+# force the true pallas_call-interpret path (plumbing coverage).
+_INTERPRET = False
+
+
+def _use_interpret() -> bool:
+    import os
+
+    return ((_INTERPRET or jax.default_backend() == "cpu")
+            and os.environ.get("ZKSNAP_TPU_PALLAS_INTERP") == "1")
+
+
+def _use_direct() -> bool:
+    import os
+
+    return (jax.default_backend() == "cpu"
+            and os.environ.get("ZKSNAP_TPU_PALLAS_INTERP") != "1")
+
+
+@functools.cache
+def _direct_call(kind: str, p_int: int, n0: int):
+    """CPU path: the exact kernel body, jitted as plain jnp."""
+    p_limbs = int_to_limbs(p_int)
+
+    def run(*arrays):
+        p_col = jnp.asarray(p_limbs.reshape(N_LIMBS, 1))
+        F = _FieldK(p_col, p_limbs, n0)
+        if kind == "dbl":
+            return _dbl_body(F, *arrays)
+        return _add_body(F, *arrays, mixed=(kind == "madd"))
+
+    return jax.jit(run)
+
+
+@functools.cache
+def _point_call(kind: str, p_int: int, n0: int, block: int, n: int,
+                interpret: bool):
+    """Jitted pallas_call for one (kind, modulus, width) -- cached so
+    eager callers don't re-lower the kernel on every invocation."""
+    from jax.experimental import pallas as pl
+
+    p_limbs = int_to_limbs(p_int)
+    n_in = 3 if kind == "dbl" else 6
+
+    def kernel(p_ref, *refs):
+        ins, outs = refs[:n_in], refs[n_in:]
+        F = _FieldK(p_ref[:, :1], p_limbs, n0)
+        vals = [r[:] for r in ins]
+        if kind == "dbl":
+            res = _dbl_body(F, *vals)
+        else:
+            res = _add_body(F, *vals, mixed=(kind == "madd"))
+        for o, v in zip(outs, res):
+            o[:] = v
+
+    spec = pl.BlockSpec((N_LIMBS, block), lambda i: (0, i))
+    p_spec = pl.BlockSpec((N_LIMBS, 128), lambda i: (0, 0))
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((N_LIMBS, n), jnp.uint32) for _ in range(3))
+    inner = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid=(n // block,),
+        in_specs=[p_spec] + [spec] * n_in,
+        out_specs=(spec,) * 3,
+        interpret=interpret,
+    )
+    p_tile = np.broadcast_to(
+        p_limbs.reshape(N_LIMBS, 1), (N_LIMBS, 128)).copy()
+
+    return jax.jit(lambda *arrays: inner(jnp.asarray(p_tile), *arrays))
+
+
+def _point_fn(kind: str, p_int: int, n0: int, block: int, interpret: bool):
+    def run(*arrays):
+        n = arrays[0].shape[1]
+        return _point_call(kind, p_int, n0, block, n, interpret)(*arrays)
+
+    return run
+
+
+def _to_major(arrs, block):
+    """[..., 16] leaves -> ([16, n_pad] stacks, batch_shape, n)."""
+    shape = jnp.broadcast_shapes(*[a.shape for a in arrs])
+    batch_shape = shape[:-1]
+    n = int(np.prod(batch_shape)) if batch_shape else 1
+    pad = (-n) % block
+    out = []
+    for a in arrs:
+        a2 = jnp.broadcast_to(a, shape).reshape(n, N_LIMBS)
+        if pad:
+            a2 = jnp.concatenate([a2, jnp.zeros((pad, N_LIMBS), jnp.uint32)])
+        out.append(a2.T)
+    return out, batch_shape, n
+
+
+def _from_major(arrs, batch_shape, n):
+    return tuple(a.T[:n].reshape(*batch_shape, N_LIMBS) for a in arrs)
+
+
+def _pick_block(n: int) -> int:
+    # quantize small widths to one full 128-lane block so eager callers
+    # of many tiny widths share a single compiled kernel (n_pad = 128)
+    return 1024 if n >= 1024 else 128
+
+
+def point_add_fused(p, q, p_int: int, n0: int, mixed: bool = False):
+    """p, q: (x, y, z) tuples of [..., 16] tensors -> fused complete add.
+
+    mixed=True requires q.z in {0, one_mont} (identity or affine)."""
+    block = _pick_block(int(np.prod(p[0].shape[:-1]) or 1))
+    arrs, bs, n = _to_major([*p, *q], block)
+    kind = "madd" if mixed else "add"
+    if _use_direct():
+        out = _direct_call(kind, p_int, n0)(*arrs)
+    else:
+        out = _point_fn(kind, p_int, n0, block, _use_interpret())(*arrs)
+    return _from_major(out, bs, n)
+
+
+def point_dbl_fused(p, p_int: int, n0: int):
+    block = _pick_block(int(np.prod(p[0].shape[:-1]) or 1))
+    arrs, bs, n = _to_major(list(p), block)
+    if _use_direct():
+        out = _direct_call("dbl", p_int, n0)(*arrs)
+    else:
+        out = _point_fn("dbl", p_int, n0, block, _use_interpret())(*arrs)
+    return _from_major(out, bs, n)
+
+
+# --------------------------------------------------------------------------
+# Segmented bucket-accumulation mega-kernel: the whole K-step scan in ONE
+# pallas_call.  TPU grid steps run sequentially, so the running per-lane
+# accumulator lives in VMEM scratch across steps -- no per-step dispatch,
+# transposes, or select glue.  This is the Pippenger hot loop.
+# --------------------------------------------------------------------------
+
+@functools.cache
+def _bucket_scan_call(p_int: int, n0: int, M: int, K: int, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    p_limbs = int_to_limbs(p_int)
+    one_rows = int_to_limbs((1 << (LIMB_BITS * N_LIMBS)) % p_int)  # mont 1
+
+    def kernel(p_ref, fl_ref, x_ref, y_ref, z_ref, ox_ref, oy_ref, oz_ref,
+               ax, ay, az):
+        k = pl.program_id(0)
+
+        @pl.when(k == 0)
+        def _init():
+            # identity: (1, 1, 0) in Montgomery form.  Row-by-row scalar
+            # fills: jnp consts would be captured constants (disallowed).
+            az[:] = jnp.zeros((N_LIMBS, M), jnp.uint32)
+            for i in range(N_LIMBS):
+                row = jnp.full((M,), np.uint32(one_rows[i]))
+                ax[i, :] = row
+                ay[i, :] = row
+
+        F = _FieldK(p_ref[:, :1], p_limbs, n0)
+        px, py, pz = x_ref[:], y_ref[:], z_ref[:]
+        sx, sy, sz = _add_body(F, ax[:], ay[:], az[:], px, py, pz, mixed=True)
+        restart = fl_ref[0, :] != 0  # segment start: accumulator resets
+        nx = F.select(restart, px, sx)
+        ny = F.select(restart, py, sy)
+        nz = F.select(restart, pz, sz)
+        ox_ref[:], oy_ref[:], oz_ref[:] = nx, ny, nz
+        ax[:], ay[:], az[:] = nx, ny, nz
+
+    spec = pl.BlockSpec((N_LIMBS, M), lambda k: (0, k))
+    f_spec = pl.BlockSpec((8, M), lambda k: (0, k))
+    p_spec = pl.BlockSpec((N_LIMBS, 128), lambda k: (0, 0))
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((N_LIMBS, K * M), jnp.uint32) for _ in range(3))
+    inner = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid=(K,),
+        in_specs=[p_spec, f_spec, spec, spec, spec],
+        out_specs=(spec,) * 3,
+        scratch_shapes=[pltpu.VMEM((N_LIMBS, M), jnp.uint32)] * 3,
+        interpret=interpret,
+    )
+    p_tile = np.broadcast_to(
+        p_limbs.reshape(N_LIMBS, 1), (N_LIMBS, 128)).copy()
+
+    return jax.jit(
+        lambda fl, x, y, z: inner(jnp.asarray(p_tile), fl, x, y, z))
+
+
+@functools.cache
+def _bucket_scan_direct(p_int: int, n0: int, M: int, K: int):
+    """CPU path: lax.scan with the exact kernel step body."""
+    p_limbs = int_to_limbs(p_int)
+    one_rows = int_to_limbs((1 << (LIMB_BITS * N_LIMBS)) % p_int)
+
+    def run(fl, x, y, z):
+        p_col = jnp.asarray(p_limbs.reshape(N_LIMBS, 1))
+        F = _FieldK(p_col, p_limbs, n0)
+
+        def to_k(a):  # [16, K*M] -> [K, 16, M]
+            return jnp.moveaxis(a.reshape(N_LIMBS, K, M), 1, 0)
+
+        def step(acc, inp):
+            ax, ay, az = acc
+            px, py, pz, f = inp
+            sx, sy, sz = _add_body(F, ax, ay, az, px, py, pz, mixed=True)
+            restart = f != 0
+            nx = F.select(restart, px, sx)
+            ny = F.select(restart, py, sy)
+            nz = F.select(restart, pz, sz)
+            return (nx, ny, nz), (nx, ny, nz)
+
+        init = (jnp.broadcast_to(
+                    jnp.asarray(one_rows)[:, None], (N_LIMBS, M)),
+                jnp.broadcast_to(
+                    jnp.asarray(one_rows)[:, None], (N_LIMBS, M)),
+                jnp.zeros((N_LIMBS, M), jnp.uint32))
+        fk = fl[0].reshape(K, M)
+        _, (ox, oy, oz) = jax.lax.scan(
+            step, init, (to_k(x), to_k(y), to_k(z), fk))
+        # [K, 16, M] -> [16, K*M]
+        return tuple(jnp.moveaxis(a, 0, 1).reshape(N_LIMBS, K * M)
+                     for a in (ox, oy, oz))
+
+    return jax.jit(run)
+
+
+def bucket_scan_fused(pts_sorted, flags, M: int, K: int, p_int: int, n0: int):
+    """Segmented mixed-add scan over the sorted point stream.
+
+    pts_sorted: (x, y, z) each [n_pad, 16] limb-minor, sorted by bucket id,
+        n_pad == M * K, z in {0, mont 1}.  Lane l owns positions
+        [l*K, (l+1)*K); step k processes position l*K + k of every lane.
+    flags: [n_pad] bool, True where a new segment starts.
+    Returns (x, y, z) each [K, M, 16]: the running lane-local sums.
+    """
+    def km_major(a):
+        # [M*K, 16] -> [16, K*M] with block k at columns [k*M, (k+1)*M)
+        return a.reshape(M, K, N_LIMBS).transpose(2, 1, 0).reshape(
+            N_LIMBS, K * M)
+
+    fl = flags.astype(jnp.uint32).reshape(M, K).T.reshape(1, K * M)
+    fl = jnp.pad(fl, ((0, 7), (0, 0)))
+    if _use_direct():
+        out = _bucket_scan_direct(p_int, n0, M, K)(
+            fl, *[km_major(a) for a in pts_sorted])
+    else:
+        out = _bucket_scan_call(p_int, n0, M, K, _use_interpret())(
+            fl, *[km_major(a) for a in pts_sorted])
+    return tuple(
+        a.reshape(N_LIMBS, K, M).transpose(1, 2, 0) for a in out)

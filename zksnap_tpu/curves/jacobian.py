@@ -93,32 +93,32 @@ class CurveOps:
     def is_identity(self, p: JacPoint):
         return self.F.is_zero(p.z)
 
-    def _pallas_block(self, *pts) -> int:
-        """Fused point-kernel block size, or 0 for the jnp path."""
+    def use_fused(self) -> bool:
+        """Route group ops through the fused Pallas kernels (TPU only)."""
         import os
 
-        if os.environ.get("ZKSNAP_TPU_PALLAS", "1") != "1":
-            return 0
-        if jax.default_backend() == "cpu":
+        return (os.environ.get("ZKSNAP_TPU_PALLAS", "1") == "1"
+                and jax.default_backend() != "cpu")
+
+    def _pallas_block(self, *pts) -> int:
+        """1 if the fused point kernels apply, else 0 (composed jnp path).
+
+        Tiny widths pad up to one 128-lane block inside fused.py, so the
+        kernels are worth it at ANY width under jit (one dispatch vs ~30)."""
+        if not self.use_fused():
             return 0
         shapes = {p.x.shape for p in pts}
         if len(shapes) != 1:
             return 0
-        n = 1
-        for d in pts[0].x.shape[:-1]:
-            n *= int(d)
-        if n < 256:
-            return 0
-        return 512
+        return 1
 
     def double(self, p: JacPoint) -> JacPoint:
         """dbl-2009-l (a=0).  Identity doubles to identity (Z stays 0)."""
-        block = self._pallas_block(p)
-        if block:
-            from .pallas_point import point_dbl_batch
+        if self._pallas_block(p):
+            from .fused import point_dbl_fused
 
-            x, y, z = point_dbl_batch(
-                (p.x, p.y, p.z), self.F.p, self.F.n0, block, False)
+            x, y, z = point_dbl_fused(
+                (p.x, p.y, p.z), self.F.p, int(self.F.n0))
             return JacPoint(x, y, z)
         F = self.F
         A = F.square(p.x)
@@ -136,32 +136,15 @@ class CurveOps:
     def add(self, p: JacPoint, q: JacPoint) -> JacPoint:
         """Complete branchless addition (handles P==Q, P==-Q, identities).
 
-        NB: the fully-fused add kernel (curves/pallas_point.py) is gated
-        off by default -- its ~50k-op straight-line body compiles too
-        slowly under Mosaic; splitting it into 2-3 stages is the planned
-        fix.  The composed path below still uses the fused field kernels.
-        """
-        import os
+        Routes to the fused single-kernel add (curves/fused.py) on TPU:
+        stacked [16, W] pad-shift Montgomery muls compile in seconds
+        where round 1's per-limb-row unrolled kernel wedged Mosaic."""
+        if self._pallas_block(p, q):
+            from .fused import point_add_fused
 
-        # "staged" (3-kernel fused add) compiles ~5min per block shape and
-        # needs longer validation -- off by default for now (round-2 item).
-        mode = os.environ.get("ZKSNAP_TPU_FUSED_ADD", "0")
-        if mode in ("staged", "1"):
-            block = self._pallas_block(p, q)
-            if block:
-                if mode == "staged":
-                    from .pallas_point import point_add_staged
-
-                    x, y, z = point_add_staged(
-                        (p.x, p.y, p.z), (q.x, q.y, q.z),
-                        self.F.p, self.F.n0, block, False)
-                else:
-                    from .pallas_point import point_add_batch
-
-                    x, y, z = point_add_batch(
-                        (p.x, p.y, p.z), (q.x, q.y, q.z),
-                        self.F.p, self.F.n0, block, False)
-                return JacPoint(x, y, z)
+            x, y, z = point_add_fused(
+                (p.x, p.y, p.z), (q.x, q.y, q.z), self.F.p, int(self.F.n0))
+            return JacPoint(x, y, z)
         F = self.F
         z1z1 = F.square(p.z)
         z2z2 = F.square(q.z)
@@ -201,6 +184,41 @@ class CurveOps:
         y = F.select(q_inf, p.y, F.select(p_inf, q.y, y))
         z = F.select(q_inf, p.z, F.select(p_inf, q.z, z))
         return JacPoint(x, y, z)
+
+    def madd(self, p: JacPoint, q: JacPoint) -> JacPoint:
+        """Mixed complete add: q.z MUST be 0 (identity) or Montgomery 1
+        (affine).  Saves ~1/3 of the muls vs `add` -- the Pippenger
+        bucket-accumulation scan streams affine base points through this."""
+        if self._pallas_block(p, q):
+            from .fused import point_add_fused
+
+            x, y, z = point_add_fused(
+                (p.x, p.y, p.z), (q.x, q.y, q.z), self.F.p, int(self.F.n0),
+                mixed=True)
+            return JacPoint(x, y, z)
+        return self.add(p, q)
+
+    def normalize(self, p: JacPoint) -> JacPoint:
+        """Batched Jacobian -> affine-or-identity (z in {0, mont 1}).
+
+        One Fermat inversion for the whole batch (Montgomery's trick in
+        F.batch_inv).  Required before feeding points into the MSM, whose
+        bucket-accumulation scan streams operands through the mixed add."""
+        F = self.F
+        bs = p.batch_shape
+        n = 1
+        for d in bs:
+            n *= int(d)
+        z = p.z.reshape(n, N_LIMBS)
+        zinv = F.batch_inv(z)  # zeros -> zeros
+        zi2 = F.square(zinv)
+        x = F.mul(p.x.reshape(n, N_LIMBS), zi2)
+        y = F.mul(p.y.reshape(n, N_LIMBS), F.mul(zi2, zinv))
+        inf = F.is_zero(z)
+        one = jnp.broadcast_to(jnp.asarray(F.one), z.shape)
+        zout = jnp.where(inf[..., None], jnp.zeros_like(z), one)
+        return JacPoint(x.reshape(*bs, N_LIMBS), y.reshape(*bs, N_LIMBS),
+                        zout.reshape(*bs, N_LIMBS))
 
     def neg(self, p: JacPoint) -> JacPoint:
         return JacPoint(p.x, self.F.neg(p.y), p.z)

@@ -77,7 +77,11 @@ def _segmented_bucket_sums(ops: CurveOps, pts: JacPoint, ids, n_buckets: int,
     px, py, pz = pts.x[order], pts.y[order], pts.z[order]
 
     if lanes is None:
-        M = min(n, 16384)
+        # fused mega-kernel: the add body keeps ~30 live [16, M] tiles in
+        # VMEM (measured 36.8MB frame at M=8192 vs the 16MB scoped limit),
+        # so cap M at 2048 (~9MB frame).  The composed jnp path has no such
+        # limit -- wider lanes mean fewer scan steps.
+        M = min(n, 2048 if ops.use_fused() else 16384)
     else:
         M = min(n, lanes)
     K = -(-n // M)
@@ -98,19 +102,29 @@ def _segmented_bucket_sums(ops: CurveOps, pts: JacPoint, ids, n_buckets: int,
     def to_km(a):
         return jnp.moveaxis(a.reshape(M, K, *a.shape[1:]), 0, 1)
 
-    pxk, pyk, pzk = to_km(px), to_km(py), to_km(pz)
     flk = to_km(flags)
 
-    def step(acc, x):
-        fx, fy, fz, fl = x
-        s = ops.add(acc, JacPoint(fx, fy, fz))
-        keep = fl[:, None]
-        new = JacPoint(jnp.where(keep, fx, s.x), jnp.where(keep, fy, s.y),
-                       jnp.where(keep, fz, s.z))
-        return new, (new.x, new.y, new.z)
+    if ops.use_fused():
+        # ONE pallas call for the whole K-step scan (acc in VMEM scratch)
+        from ..curves.fused import bucket_scan_fused
 
-    _, parts = jax.lax.scan(step, ops.identity((M,)), (pxk, pyk, pzk, flk))
-    parts_x, parts_y, parts_z = parts  # [K, M, 16] lane-local partial sums
+        parts_x, parts_y, parts_z = bucket_scan_fused(
+            (px, py, pz), flags, M, K, ops.F.p, int(ops.F.n0))
+    else:
+        pxk, pyk, pzk = to_km(px), to_km(py), to_km(pz)
+
+        def step(acc, x):
+            fx, fy, fz, fl = x
+            # stream points are affine (z in {0,1}): mixed add
+            s = ops.madd(acc, JacPoint(fx, fy, fz))
+            keep = fl[:, None]
+            new = JacPoint(jnp.where(keep, fx, s.x), jnp.where(keep, fy, s.y),
+                           jnp.where(keep, fz, s.z))
+            return new, (new.x, new.y, new.z)
+
+        _, parts = jax.lax.scan(
+            step, ops.identity((M,)), (pxk, pyk, pzk, flk))
+        parts_x, parts_y, parts_z = parts  # [K, M, 16] lane partial sums
 
     # ---- lane-carry scan: resolve segments spanning lane boundaries ----
     # summary of lane l: (trailing segment sum, had any segment start)
@@ -250,6 +264,11 @@ def msm_impl(ops: CurveOps, pts: JacPoint, scalars, c: int, n_windows: int,
              lanes: int | None = None):
     """Full Pippenger: -> JacPoint (scalar batch shape ()).
 
+    `pts` MUST be affine-or-identity (z in {0, 1}): the accumulation
+    scan streams them through the mixed-add kernel.  All call sites
+    load points via `from_affine_host` / the SRS cache, which satisfy
+    this.
+
     ALL windows are processed in one flattened pipeline: composite bucket
     ids (window << c | digit) feed a single sort + two-level segmented
     accumulation over W*n elements (maximum batch width for the Pallas
@@ -272,15 +291,28 @@ def msm_impl(ops: CurveOps, pts: JacPoint, scalars, c: int, n_windows: int,
     )
     wsums = _weighted_bucket_reduce(ops, buckets, c)  # [W, 16] points
 
-    # Horner over windows, MSB first
-    rev = JacPoint(wsums.x[::-1], wsums.y[::-1], wsums.z[::-1])
+    # window combine: T = sum_w 2^{c*w} S_w.  A Horner chain is c*(W-1)
+    # doublings of a SINGLE point -- pure launch latency on TPU.  Instead:
+    # masked doubling ladder batched over the window axis (entry w keeps
+    # doubling while i < c*w), then a tree reduction.
+    Wp = 1 << max((W - 1).bit_length(), 0)  # pad to power of two
+    idp = ops.identity((Wp - W,))
+    pts = JacPoint(jnp.concatenate([wsums.x, idp.x]),
+                   jnp.concatenate([wsums.y, idp.y]),
+                   jnp.concatenate([wsums.z, idp.z]))
+    widx = jnp.arange(Wp)
 
-    def body(total, wsum):
-        total = jax.lax.fori_loop(0, c, lambda i, t: ops.double(t), total)
-        return ops.add(total, JacPoint(*wsum)), None
+    def ladder(i, t):
+        x, y, z = t
+        d = ops.double(JacPoint(x, y, z))
+        need = (widx * c) > i
+        return (jnp.where(need[:, None], d.x, x),
+                jnp.where(need[:, None], d.y, y),
+                jnp.where(need[:, None], d.z, z))
 
-    total, _ = jax.lax.scan(body, ops.identity(()), (rev.x, rev.y, rev.z))
-    return total
+    pts = JacPoint(*jax.lax.fori_loop(0, c * (W - 1), ladder,
+                                      (pts.x, pts.y, pts.z)))
+    return _tree_reduce(ops, pts, 0)
 
 
 class MSM:

@@ -200,8 +200,24 @@ def rebind_witness(pk: ProvingKey, ctx: Context) -> ProvingKey:
 
 
 def prove(pk: ProvingKey, instances: list[int]) -> bytes:
+    """Prove; ZK blinding fills the reserved tail rows (see _blind_*).
+
+    Blinding (halo2 create_proof parity, wrapper.rs:129-137): every
+    witness-carrying committed polynomial gets random values in the
+    ZK_ROWS tail rows (more rows than any poly's opening count), so the
+    commitments are hiding and the opened evaluations do not determine
+    the witness.  Lookup columns are blinded with random TABLE entries
+    (the logUp identity spans all rows), which randomizes the
+    multiplicity column as a side effect; the logUp helper h remains a
+    deterministic function of the blinded inputs -- same residual-ZK
+    caveat as halo2's own lookup argument carries for its product
+    column inputs.
+    """
+    import secrets
+
     layout = pk.layout
     n, k = layout.n, layout.k
+    usable = layout.usable
     ops = bn254_ops()
     from ..poly.domain import domain
 
@@ -211,10 +227,28 @@ def prove(pk: ProvingKey, instances: list[int]) -> bytes:
     for v in instances:
         tr.absorb_scalar(v)  # binds instances into Fiat-Shamir (not written)
 
-    # -- round 1: commit witness columns ------------------------------------
-    advice_dev = [to_device_poly(c) for c in layout.advice_cols]
-    lookup_dev = [to_device_poly(c) for c in layout.lookup_cols]
-    m_dev = to_device_poly(layout.multiplicity)
+    # -- round 1: blind + commit witness columns ----------------------------
+    advice_cols = [
+        col[:usable] + [secrets.randbelow(P) for _ in range(n - usable)]
+        for col in layout.advice_cols
+    ]
+    if layout.n_lookup:
+        tb = 1 << layout.lookup_bits
+        mult = list(layout.multiplicity)
+        lookup_cols = []
+        for col in layout.lookup_cols:
+            tail = [secrets.randbelow(tb) for _ in range(n - usable)]
+            for v in tail:
+                mult[v] += 1
+            mult[0] -= n - usable  # the zero padding rows tail replaces
+            lookup_cols.append(col[:usable] + tail)
+    else:
+        mult = layout.multiplicity
+        lookup_cols = []
+
+    advice_dev = [to_device_poly(c) for c in advice_cols]
+    lookup_dev = [to_device_poly(c) for c in lookup_cols]
+    m_dev = to_device_poly(mult)
     inst_dev = to_device_poly(layout.instance_col)
 
     def commit(dev):
@@ -254,6 +288,17 @@ def prove(pk: ProvingKey, instances: list[int]) -> bytes:
                   for j in range(len(layout.perm_columns))]
     z_stack, z_closure = compute_z_dev(layout, cols_dev, sigma_devs,
                                        beta, gamma)
+    # blind Z: rows (usable, n) are unconstrained (the permutation terms
+    # are active-masked; l_0/l_u pin rows 0 and usable only)
+    from ..fields.common import ints_to_limbs
+
+    z_tail = n - usable - 1
+    if z_tail > 0:
+        rand_rows = jnp.asarray(ints_to_limbs(
+            [secrets.randbelow(P)
+             for _ in range(z_stack.shape[0] * z_tail)])).reshape(
+                 z_stack.shape[0], z_tail, 16)
+        z_stack = z_stack.at[:, usable + 1:].set(rand_rows)
     z_devs = [z_stack[c] for c in range(z_stack.shape[0])]
     # one small readback checks both closure identities
     if h_closure is not None:
@@ -288,8 +333,12 @@ def prove(pk: ProvingKey, instances: list[int]) -> bytes:
     queries = _query_plan(pk.vk, len(t_chunks_dev))
 
     all_polys = dict(polys_dev)
-    for i, tc in enumerate(t_chunks_dev):
-        all_polys[f"t_{i}"] = tc
+    # combined quotient: t = sum_i xn^i t_i (the only t poly opened; its
+    # eval is derived by the verifier, see _query_plan)
+    xn = pow(x, n, P)
+    all_polys["t"] = rlc(
+        jnp.stack(t_chunks_dev),
+        [pow(xn, i, P) for i in range(len(t_chunks_dev))], k)
 
     stacked_names = sorted(all_polys.keys())
     stacked = jnp.stack([all_polys[nm] for nm in stacked_names])
@@ -303,8 +352,8 @@ def prove(pk: ProvingKey, instances: list[int]) -> bytes:
             evals[(nm, pt_name)] = v
 
     for nm, pt in sorted(queries):
-        if nm == "instance":
-            continue
+        if nm in ("instance", "t"):
+            continue  # verifier-derived evals are never written
         tr.write_scalar(evals[(nm, pt)])
 
     v_ch = tr.challenge()
@@ -366,8 +415,15 @@ def _query_plan(vk: VerifyingKey, n_t_chunks: int):
             q.add((f"z_{c}", "wux"))
     for j in range(vk.n_perm):
         q.add((f"sigma_{j}", "x"))
-    for i in range(n_t_chunks):
-        q.add((f"t_{i}", "x"))
+    # the combined quotient t = sum_i X^{n*i} t_i is opened at x, but its
+    # claimed evaluation is DERIVED by the verifier from the constraint
+    # identity (total / zh(x)) rather than read from the stream -- halo2 /
+    # snark-verifier semantics: a false identity surfaces as an invalid
+    # KZG opening claim, i.e. the final pairing fails.  This is what lets
+    # the wrapper circuit run succinct verification on round-0 dummy
+    # snarks (wrapper.rs:361-385 select_accumulator) without unsatisfiable
+    # hard constraints.
+    q.add(("t", "x"))
     q.add(("instance", "x"))  # computed by verifier, not written
     return q
 
@@ -655,8 +711,8 @@ def _verify_succinct(vk: VerifyingKey, instances: list[int], proof: bytes):
     queries = _query_plan(vk, E)
     evals = {}
     for nm, pt in sorted(queries):
-        if nm == "instance":
-            continue
+        if nm in ("instance", "t"):
+            continue  # derived below, never part of the stream
         evals[(nm, pt)] = tr.read_scalar(stream)
     evals[("instance", "x")] = _eval_instance(instances, x, vk.k, omega)
 
@@ -715,12 +771,18 @@ def _verify_succinct(vk: VerifyingKey, instances: list[int], proof: bytes):
     total = (total * y
              + lu_x * ((evals[(f"z_{vk.n_z-1}", "x")] - 1) % P)) % P
 
-    t_at_x = 0
+    # derived quotient opening claim: t(x) := total / zh(x); the combined
+    # commitment sum_i xn^i [t_i].  A proof whose constraints do not hold
+    # makes this claim false, so the final pairing rejects (halo2 /
+    # snark-verifier semantics -- no hard identity check here).
     xn = pow(x, n, P)
-    for i in range(E - 1, -1, -1):
-        t_at_x = (t_at_x * xn + evals[(f"t_{i}", "x")]) % P
-    if total != t_at_x * zh_x % P:
-        return None
+    evals[("t", "x")] = total * pow(zh_x, -1, P) % P
+    t_comb = AffinePoint.identity(BN254_G1)
+    xpow = 1
+    for i in range(E):
+        t_comb = t_comb + xpow * comm[f"t_{i}"]
+        xpow = xpow * xn % P
+    comm["t"] = t_comb
 
     # -- GWC pairing check ---------------------------------------------------
     eval_points = _eval_points(x, omega, vk.usable)

@@ -145,8 +145,8 @@ def succinct_verify_gadget(
     queries = _query_plan(vk, E)
     evals: dict = {}
     for nm, pt in sorted(queries):
-        if nm == "instance":
-            continue
+        if nm in ("instance", "t"):
+            continue  # derived, never part of the stream
         evals[(nm, pt)] = reader.read_scalar()
 
     # -- instance evaluation at x (barycentric) -------------------------------
@@ -230,10 +230,12 @@ def succinct_verify_gadget(
         lu_x, ctx.add_const(evals[(f"z_{vk.n_z-1}", "x")], -1),
         ctx.mul(total, y))
 
-    t_at_x = ctx.load_constant(0)
-    for i in range(E - 1, -1, -1):
-        t_at_x = ctx.add(ctx.mul(t_at_x, xn), evals[(f"t_{i}", "x")])
-    ctx.constrain_equal(total, ctx.mul(t_at_x, zh_x))
+    # derived quotient opening claim t(x) = total / zh(x) (see plonk.py
+    # _query_plan): no hard identity constraint -- an invalid child proof
+    # surfaces as a bad accumulator, which round 0 selects away
+    # (wrapper.rs:361-385) and any other round fails at the decide pairing.
+    zh_inv = _inv(ctx, zh_x)
+    evals[("t", "x")] = ctx.mul(total, zh_inv)
 
     # -- GWC aggregation -------------------------------------------------------
     by_point: dict[str, list[str]] = {}
@@ -275,6 +277,14 @@ def succinct_verify_gadget(
                     base = lagranges[j]
                     if not base.is_identity():
                         lhs_pairs.append((ctx.mul(scal, c), base))
+            elif nm == "t":
+                # combined quotient commitment sum_i xn^i [t_i], expanded
+                # into E MSM pairs instead of pre-combining
+                xp: Cell | None = None  # None == 1
+                for i in range(E):
+                    s_i = scal if xp is None else ctx.mul(scal, xp)
+                    lhs_pairs.append((s_i, comm[f"t_{i}"]))
+                    xp = xn if xp is None else ctx.mul(xp, xn)
             else:
                 base = comm[nm]
                 if isinstance(base, AffinePoint) and base.is_identity():
