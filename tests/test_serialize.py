@@ -92,3 +92,38 @@ def test_pk_vk_checkpoint_roundtrip(setup):
     assert verify(vk2, srs.g2, srs.tau_g2, [42], proof2)
     # ZK blinding: two proofs of the same witness must differ (hiding)
     assert proof_to_bytes(proof2) != proof_to_bytes(proof)
+
+def test_srs_ceremony_file_roundtrip(tmp_path):
+    """Ceremony wire-format loader (worker.js:218-224 parity): write the
+    dev SRS in the halo2 ParamsKZG layout, reload, validate (on-curve,
+    pairing sanity, Lagrange-sum identity), and prove with it."""
+    from zksnap_tpu.prover.plonk import keygen, prove, verify
+    from zksnap_tpu.prover.srs import gen_srs, load_srs, save_srs
+
+    srs = gen_srs(6)
+    path = str(tmp_path / "kzg_bn254_6.srs")
+    save_srs(srs, path)
+    srs2 = load_srs(path)
+    assert srs2.k == 6
+
+    ctx = Context(lookup_bits=5)
+    a = ctx.load_witness(3)
+    b = ctx.load_witness(4)
+    ctx.expose_public(ctx.mul(a, b))
+    ctx.range_check(ctx.load_witness(17), 5)
+    pk = keygen(ctx, 6, srs2)
+    proof = prove(pk, [12])
+    assert verify(pk.vk, srs2.g2, srs2.tau_g2, [12], proof)
+
+
+def test_srs_loader_rejects_corruption(tmp_path):
+    from zksnap_tpu.prover.srs import gen_srs, load_srs, save_srs
+
+    srs = gen_srs(6)
+    path = str(tmp_path / "bad.srs")
+    save_srs(srs, path)
+    data = bytearray(open(path, "rb").read())
+    data[4 + 64 + 3] ^= 1  # corrupt the second g1 point ([tau]G)
+    open(path, "wb").write(bytes(data))
+    with pytest.raises(ValueError):
+        load_srs(path)

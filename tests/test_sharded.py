@@ -24,3 +24,53 @@ def test_sharded_msm_matches_oracle(rng):
     P = ops.from_affine_host(pts)
     out = sharded_msm(ops, P, jnp.asarray(ints_to_limbs(scalars)), mesh, c=6)
     assert ops.to_affine_host(out) == [want]
+
+
+def test_protocol_mesh_and_scaling_harness():
+    """Multi-host groundwork on the virtual 8-device platform: the
+    ("host", "chip") mesh builds, the chip submesh drives the sharded
+    MSM, and the scaling harness returns sane efficiency numbers."""
+    from zksnap_tpu.parallel import (
+        chip_submesh,
+        initialize,
+        protocol_mesh,
+        scaling_efficiency,
+    )
+
+    assert initialize() is False  # single-process: no-op, not distributed
+    pm = protocol_mesh(chips_per_host=4)
+    assert pm.n_hosts == 2 and pm.chips_per_host == 4
+    assert pm.mesh.shape == {"host": 2, "chip": 4}
+
+    ops = bn254_ops()
+    n = 32
+    g = bn254_generator()
+    pts = [((i % 7) + 1) * g for i in range(n)]
+    scalars = [2 * i + 1 for i in range(n)]
+    want = AffinePoint.identity(BN254_G1)
+    for k, p in zip(scalars, pts):
+        want = want + k * p
+    P = ops.from_affine_host(pts)
+    s_dev = jnp.asarray(ints_to_limbs(scalars))
+
+    import jax as _jax
+
+    def mesh_for(nc):
+        return _jax.make_mesh((nc,), ("x",),
+                              axis_types=(_jax.sharding.AxisType.Auto,))
+
+    results = []
+
+    def work(nc, mesh):
+        out = sharded_msm(ops, P, s_dev, mesh, c=6)
+        out.z.block_until_ready()
+        results.append(ops.to_affine_host(out)[0])
+
+    rows = scaling_efficiency(work, [1, 2, 4], mesh_for)
+    assert [r["n"] for r in rows] == [1, 2, 4]
+    assert all(r["seconds"] >= 0 for r in rows)
+    assert all(pt == want for pt in results)
+
+    sub = chip_submesh(pm)
+    out = sharded_msm(ops, P, s_dev, sub, c=6)
+    assert ops.to_affine_host(out) == [want]

@@ -384,6 +384,13 @@ def _bucket_scan_call(p_int: int, n0: int, M: int, K: int, interpret: bool):
     p_spec = pl.BlockSpec((N_LIMBS, 128), lambda k: (0, 0))
     out_shape = tuple(
         jax.ShapeDtypeStruct((N_LIMBS, K * M), jnp.uint32) for _ in range(3))
+    # the add body keeps ~30 live [16, M] tiles: ~4.6KB/lane of frame.
+    # The default scoped-vmem budget (16MB) caps M at 2048; raising the
+    # per-kernel limit lets wider lanes cut the scan step count 4x
+    # (v5e has 128MB VMEM; leave headroom for pipelining buffers).
+    params = {} if interpret else dict(
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024))
     inner = pl.pallas_call(
         kernel,
         out_shape=out_shape,
@@ -392,6 +399,7 @@ def _bucket_scan_call(p_int: int, n0: int, M: int, K: int, interpret: bool):
         out_specs=(spec,) * 3,
         scratch_shapes=[pltpu.VMEM((N_LIMBS, M), jnp.uint32)] * 3,
         interpret=interpret,
+        **params,
     )
     p_tile = np.broadcast_to(
         p_limbs.reshape(N_LIMBS, 1), (N_LIMBS, 128)).copy()

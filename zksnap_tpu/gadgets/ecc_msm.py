@@ -56,13 +56,28 @@ class LazyPoint:
 
 
 class MsmGadget:
-    def __init__(self, ctx: Context, fq: NonNativeChip):
+    def __init__(self, ctx: Context, fq: NonNativeChip, window: int = WINDOW,
+                 unsound_truncate_bits: int | None = None):
+        """`window` is the Pippenger digit width (shape knob).
+
+        `unsound_truncate_bits` replaces every scalar with an UNBOUND
+        fresh witness of its low bits -- it breaks the link between the
+        scalar cell and the MSM result and exists ONLY so structural
+        tests of the (huge) wrapper circuit fit in CI.  Production code
+        paths must leave it None; `bits_sound` reports the mode.
+        """
         assert fq.m == Q
         self.ctx = ctx
         self.fq = fq
         self.big = fq.big
         self.m_bits = Q.bit_length()
         self.n_limbs = 3
+        self.window = window
+        self.unsound_truncate_bits = unsound_truncate_bits
+
+    @property
+    def bits_sound(self) -> bool:
+        return self.unsound_truncate_bits is None
 
     # -- lazy element plumbing ------------------------------------------------
 
@@ -233,7 +248,13 @@ class MsmGadget:
         """
         ctx = self.ctx
         gen = AffinePoint.generator(BN254_G1)
-        n_windows = -(-n_bits // WINDOW)
+        W = self.window
+        if self.unsound_truncate_bits is not None:
+            # TEST-ONLY: swap scalars for unbound truncated witnesses
+            n_bits = self.unsound_truncate_bits
+            pairs = [(ctx.load_witness(s.value % (1 << n_bits)), pt)
+                     for s, pt in pairs]
+        n_windows = -(-n_bits // W)
         assert pairs, "empty MSM"
 
         digit_bits: list[list[list[Cell]]] = []  # [pt][window] -> c bits
@@ -244,7 +265,7 @@ class MsmGadget:
             offsets.append(off_pt)
             if isinstance(point, AffinePoint):
                 assert not point.is_identity(), "identity fixed base"
-                table = [off_pt + d * point for d in range(1 << WINDOW)]
+                table = [off_pt + d * point for d in range(1 << W)]
                 s_eff = scalar
             else:
                 # identity guard: swap in a constant point, zero the scalar
@@ -257,25 +278,25 @@ class MsmGadget:
                 s_eff = ctx.mul(scalar, not_inf)
                 base = LazyPoint(px.big, py.big)
                 table = [LazyPoint(self._const(off_pt.x), self._const(off_pt.y))]
-                for _ in range((1 << WINDOW) - 1):
+                for _ in range((1 << W) - 1):
                     table.append(self.add_incomplete(table[-1], base))
             tables.append(table)
 
             bits = ctx.num_to_bits(s_eff, n_bits)
             per_win = []
             for w in range(n_windows):
-                per_win.append(bits[w * WINDOW : (w + 1) * WINDOW])
+                per_win.append(bits[w * W : (w + 1) * W])
             digit_bits.append(per_win)
 
         acc: LazyPoint | None = None
         for w in range(n_windows - 1, -1, -1):
             if acc is not None:
-                for _ in range(WINDOW):
+                for _ in range(W):
                     acc = self.dbl_incomplete(acc)
             for i in range(len(pairs)):
                 bits_w = digit_bits[i][w]
                 # pad the (possibly short) top window with constant 0 bits
-                while len(bits_w) < WINDOW:
+                while len(bits_w) < W:
                     bits_w = bits_w + [ctx.load_constant(0)]
                 sel = self._select_point(tables[i], bits_w)
                 acc = sel if acc is None else self.add_incomplete(acc, sel)
@@ -285,7 +306,7 @@ class MsmGadget:
         r = BN254_G1.n
         k_off = 0
         for w in range(n_windows):
-            k_off = (k_off * (1 << WINDOW) + 1) % r
+            k_off = (k_off * (1 << W) + 1) % r
         total_off = AffinePoint.identity(BN254_G1)
         for off_pt in offsets:
             total_off = total_off + k_off * off_pt

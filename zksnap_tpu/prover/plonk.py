@@ -122,7 +122,12 @@ def keygen(ctx: Context, k: int, srs: SRS | None = None) -> ProvingKey:
     srs = srs or gen_srs(k)
     n_perm = len(layout.perm_columns)
     n_z = -(-n_perm // PERM_CHUNK)
-    assert layout.n_lookup <= 2, "logUp constraint degree budget"
+    # logUp folds all lookup columns into one argument of degree
+    # n_lookup + 2; the extended domain grows as the next power of two
+    # (E = 2^ext_log), so 6 columns (degree 8, E = 8) is the practical
+    # budget -- the wrapper circuit's range checks need more than the
+    # 2 columns the app circuits use.
+    assert layout.n_lookup <= 6, "logUp constraint degree budget"
     max_deg = max(3, layout.n_lookup + 2, PERM_CHUNK + 2)
     ext_log = max(2, (max_deg - 1).bit_length())
 

@@ -131,6 +131,121 @@ def gen_srs(k: int, seed: bytes = b"dev") -> SRS:
     return SRS(k, g1, g1_lag, tau_g2, pr.G2_GEN)
 
 
+# ---------------------------------------------------------------------------
+# Ceremony SRS file ingestion (halo2 ParamsKZG wire format)
+# ---------------------------------------------------------------------------
+#
+# Layout (halo2_proofs `ParamsKZG::write`, the format of the Axiom
+# trusted-setup files the reference browser fetches -- worker.js:218-224
+# `challenge_0085/kzg_bn254_{k}.srs`):
+#   k               u32 LE
+#   g               2^k G1 points, 64 B each: x || y, 32-byte LE canonical
+#                   Fq; the identity is encoded as x = y = 0
+#   g_lagrange      2^k G1 points, same encoding
+#   g2              G2 point, 128 B: x.c0 || x.c1 || y.c0 || y.c1 (LE Fq)
+#   s_g2 = [tau]G2  G2 point, 128 B
+# Every loaded G1 point is curve-checked; the SRS passes the pairing
+# sanity e([tau]G1, G2) == e(G1, [tau]G2) and the Lagrange-basis identity
+# sum_i [L_i(tau)]G1 == G1 (sum of Lagrange polys is 1) before use.
+
+def _read_g1(buf: bytes, off: int):
+    x = int.from_bytes(buf[off : off + 32], "little")
+    y = int.from_bytes(buf[off + 32 : off + 64], "little")
+    q = BN254_G1.p
+    if x == 0 and y == 0:
+        return 0, 0, True
+    if x >= q or y >= q or (y * y - x * x * x - BN254_G1.b) % q:
+        raise ValueError(f"G1 point at byte {off} not on curve")
+    return x, y, False
+
+
+def _read_g2(buf: bytes, off: int):
+    from .pairing import Fq2, g2_is_on_curve
+
+    c = [int.from_bytes(buf[off + 32 * i : off + 32 * (i + 1)], "little")
+         for i in range(4)]
+    pt = (Fq2(c[0], c[1]), Fq2(c[2], c[3]))
+    if not g2_is_on_curve(pt):
+        raise ValueError(f"G2 point at byte {off} not on the twist")
+    return pt
+
+
+def load_srs(path: str) -> SRS:
+    """Ingest a ceremony `.srs` file; validates before returning."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    k = int.from_bytes(buf[0:4], "little")
+    n = 1 << k
+    need = 4 + 2 * n * 64 + 2 * 128
+    if len(buf) < need:
+        raise ValueError(f"srs file truncated: {len(buf)} < {need}")
+
+    ops = bn254_ops()
+
+    def read_block(base):
+        pts = []
+        for i in range(n):
+            x, y, inf = _read_g1(buf, base + 64 * i)
+            pts.append(AffinePoint.identity(BN254_G1) if inf
+                       else AffinePoint(BN254_G1, x, y))
+        return ops.from_affine_host(pts)
+
+    g1 = read_block(4)
+    g1_lag = read_block(4 + n * 64)
+    g2 = _read_g2(buf, 4 + 2 * n * 64)
+    s_g2 = _read_g2(buf, 4 + 2 * n * 64 + 128)
+    srs = SRS(k, g1, g1_lag, s_g2, g2)
+    if not srs_sanity_check(srs):
+        raise ValueError("srs failed the pairing sanity check")
+    if not _lagrange_sum_check(srs):
+        raise ValueError("srs failed the Lagrange-sum check")
+    return srs
+
+
+def save_srs(srs: SRS, path: str):
+    """Write an SRS in the ceremony wire format (round-trip testing and
+    dev-SRS export; byte layout identical to `load_srs`'s contract)."""
+    ops = bn254_ops()
+    out = bytearray()
+    out += int(srs.k).to_bytes(4, "little")
+    for block in (srs.g1, srs.g1_lagrange):
+        for pt in ops.to_affine_host(block):
+            if pt.is_identity():
+                out += b"\x00" * 64
+            else:
+                out += int(pt.x).to_bytes(32, "little")
+                out += int(pt.y).to_bytes(32, "little")
+    for g2pt in (srs.g2, srs.tau_g2):
+        gx, gy = g2pt
+        for c in (gx.a, gx.b, gy.a, gy.b):
+            out += int(c).to_bytes(32, "little")
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+def _lagrange_sum_check(srs: SRS) -> bool:
+    """sum_i [L_i(tau)]G1 == G1 (sum of the Lagrange basis is 1)."""
+    ops = bn254_ops()
+    import jax as _jax
+
+    @_jax.jit
+    def tree_sum(px, py, pz):
+        p = JacPoint(px, py, pz)
+        n = p.x.shape[0]
+        while n > 1:
+            half = n // 2
+            p = ops.add(
+                JacPoint(p.x[:half], p.y[:half], p.z[:half]),
+                JacPoint(p.x[half:n], p.y[half:n], p.z[half:n]))
+            n = half
+        return p.x, p.y, p.z
+
+    sx, sy, sz = tree_sum(srs.g1_lagrange.x, srs.g1_lagrange.y,
+                          srs.g1_lagrange.z)
+    total = ops.to_affine_host(JacPoint(sx, sy, sz))[0]
+    return total == bn254_generator()
+
+
 def srs_sanity_check(srs: SRS) -> bool:
     """e([tau]G1, G2) == e(G1, [tau]G2)."""
     ops = bn254_ops()

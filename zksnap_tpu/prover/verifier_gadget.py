@@ -42,12 +42,14 @@ class VerifierChips:
     pg: PoseidonGadget
 
     @classmethod
-    def create(cls, ctx: Context) -> "VerifierChips":
+    def create(cls, ctx: Context, msm_window: int = 4,
+               unsound_truncate_bits: int | None = None) -> "VerifierChips":
         big = BigUintChip(ctx)
         fq = NonNativeChip(ctx, big, BN254_G1.p)
         ecc = EccGadget(ctx, fq, 0, BN254_G1.b)
-        return cls(fq=fq, ecc=ecc, msm=MsmGadget(ctx, fq),
-                   pg=PoseidonGadget(ctx))
+        msm = MsmGadget(ctx, fq, window=msm_window,
+                        unsound_truncate_bits=unsound_truncate_bits)
+        return cls(fq=fq, ecc=ecc, msm=msm, pg=PoseidonGadget(ctx))
 
 
 @dataclass
@@ -97,6 +99,7 @@ def succinct_verify_gadget(
     own instances / cross-proof consistency).  `protocol_witness=True`
     witnesses the vk commitments instead of embedding them as constants
     (the previous-wrapper case; caller must digest-pin `protocol_cells`).
+    MSM sizing (window, test truncation) is configured on `chips.msm`.
     """
     p = ctx.p
     fq, ecc, msm = chips.fq, chips.ecc, chips.msm
