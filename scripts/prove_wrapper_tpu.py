@@ -134,7 +134,7 @@ def main():
         msm_unsound_truncate=msm_trunc,
         msm_window=2 if toy else 4,
     )
-    cfg, wpk = gen_wrapper_pk(cfg, srs_wrap)
+    cfg, wpk = gen_wrapper_pk(cfg, srs_wrap, allow_unsound=toy)
     comms = wpk.vk.commitments
     print(f"wrapper keygen: {time.time()-t0:.1f}s shape={cfg.shape}",
           flush=True)

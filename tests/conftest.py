@@ -22,6 +22,14 @@ import jax  # noqa: E402
 # env var alone doesn't override; force the CPU platform explicitly.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite re-jits identical K=7 kernels
+# across modules; caching them across processes cuts suite wall-clock by
+# minutes (VERDICT r2 weak #4).
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

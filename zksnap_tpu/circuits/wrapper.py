@@ -201,6 +201,17 @@ def zksnap_linkage(ctx: Context, vi: list[Cell], si: list[Cell],
                    eq_if) -> list[Cell]:
     """The reference's cross-proof equalities (wrapper.rs:617-711).
 
+    DOCUMENTED DEVIATION from the reference instance layout: wrapper.rs
+    exposes THIS round's old nullifier root at its old-root payload row
+    and enforces the pk_enc/prev-vote/old-root chain equalities
+    unconditionally (round 0 is pinned by initial_snark's instances,
+    wrapper.rs:740-754).  Here the chain equalities are gated with
+    `not_r0` and the old-root payload row carries the GENESIS root
+    forward unchanged (selected once at round 0 below) -- so the final
+    wrapper instance binds genesis-root -> final-root in one snark
+    instead of requiring the verifier to walk the chain.  Payload row 24
+    therefore means "genesis old root", not "this round's old root".
+
     Voter rows: [0:4] pk_enc, [4:24] vote_enc, [24:28] nullifier,
     [28] membership_root, [29] proposal_id (voter/src/lib.rs:237-292).
     State rows: [0:4] pk_enc, [4:24] prev_vote, [24:44] incoming_vote,
@@ -540,13 +551,16 @@ def solve_wrapper_shape(cfg: WrapperConfig, max_iter: int = 6,
     raise RuntimeError("wrapper shape did not converge")
 
 
-def gen_wrapper_pk(cfg: WrapperConfig, srs):
+def gen_wrapper_pk(cfg: WrapperConfig, srs, allow_unsound: bool = False):
     """Resolve the shape fixed point and run real keygen on the dummy
     synthesis (witness-independent, as halo2 keygen is).  Returns
     (cfg, ProvingKey); pk.vk.commitments are the circuit's REAL
     preprocessed commitments -- the values every round witnesses."""
     from ..prover.plonk import keygen
 
+    assert allow_unsound or cfg.msm_unsound_truncate is None, (
+        "msm_unsound_truncate is test-only (soundness-breaking); "
+        "production keygen refuses it unless allow_unsound=True")
     cfg, ctx = solve_wrapper_shape(cfg)
     pk = keygen(ctx, cfg.k, srs)
     got = WrapperShape(n_advice=pk.vk.n_advice, n_lookup=pk.vk.n_lookup,
@@ -562,6 +576,9 @@ def verify_wrapper_snark(cfg: WrapperConfig, self_commitments: dict,
     """Final native decide (wrapper.rs:1140-1158): succinctly verify the
     last wrapper snark, pin its digest row, decode the chain accumulator
     from its instances, and pay the two pairings."""
+    assert cfg.msm_unsound_truncate is None, (
+        "msm_unsound_truncate is test-only; a verifier configured with it "
+        "would accept unsound proofs")
     vk = cfg.self_vk(self_commitments)
     res = verify_succinct(vk, snark.instances, snark.proof)
     if res is None:

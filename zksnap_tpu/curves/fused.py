@@ -139,6 +139,84 @@ class _FieldK:
         return jnp.where(cond[None, :], a, b)
 
 
+def _small_mul(F: _FieldK, a, c: int):
+    """a * c for a small host constant c (double-and-add chain of field
+    adds; Montgomery form is linear so plain integer scaling is exact)."""
+    assert c >= 1
+    acc = None
+    run = a
+    bits = c
+    while bits:
+        if bits & 1:
+            acc = run if acc is None else F.add(acc, run)
+        bits >>= 1
+        if bits:
+            run = F.dbl(run)
+    return acc
+
+
+def _dbl_body_proj(F: _FieldK, x, y, z, b3: int):
+    """RCB 2015 Algorithm 9 (a=0): complete projective doubling, 6 full
+    muls + 2 squarings + one b3 chain.  Identity (0:1:0) -> (0:1:0)."""
+    t0 = F.sqr(y)
+    z3 = F.dbl(F.dbl(F.dbl(t0)))
+    t1 = F.mul(y, z)
+    t2 = _small_mul(F, F.sqr(z), b3)
+    x3 = F.mul(t2, z3)
+    y3 = F.add(t0, t2)
+    z3 = F.mul(t1, z3)
+    t1 = F.dbl(t2)
+    t2 = F.add(t1, t2)
+    t0 = F.sub(t0, t2)
+    y3 = F.add(x3, F.mul(t0, y3))
+    x3 = F.dbl(F.mul(t0, F.mul(x, y)))
+    return x3, y3, z3
+
+
+def _add_body_proj(F: _FieldK, x1, y1, z1, x2, y2, z2, mixed: bool, b3: int):
+    """RCB 2015 complete projective addition for a=0 curves.
+
+    mixed=False: Algorithm 7 (12 muls) -- complete for ALL inputs incl.
+    identities (0:1:0): no selects, no doubling fallback.
+    mixed=True: Algorithm 8 (11 muls), assumes Q affine (Z2==1); the one
+    exceptional input Q == identity (z2==0 in the stream encoding) is
+    fixed up with a single select.  This replaces the Jacobian madd's
+    ~17 muls + 7-mul doubling fallback + 4 selects in the Pippenger
+    bucket scan (STATUS r2 roadmap item 1)."""
+    t0 = F.mul(x1, x2)
+    t1 = F.mul(y1, y2)
+    if mixed:
+        t3 = F.mul(F.add(x2, y2), F.add(x1, y1))
+        t3 = F.sub(t3, F.add(t0, t1))
+        t4 = F.add(F.mul(y2, z1), y1)
+        y3 = F.add(F.mul(x2, z1), x1)
+        t2m = _small_mul(F, z1, b3)
+    else:
+        t2 = F.mul(z1, z2)
+        t3 = F.mul(F.add(x1, y1), F.add(x2, y2))
+        t3 = F.sub(t3, F.add(t0, t1))
+        t4 = F.mul(F.add(y1, z1), F.add(y2, z2))
+        t4 = F.sub(t4, F.add(t1, t2))
+        y3 = F.mul(F.add(x1, z1), F.add(x2, z2))
+        y3 = F.sub(y3, F.add(t0, t2))
+        t2m = _small_mul(F, t2, b3)
+    t0_3 = F.add(F.dbl(t0), t0)
+    z3 = F.add(t1, t2m)
+    t1 = F.sub(t1, t2m)
+    y3 = _small_mul(F, y3, b3)
+    x3 = F.sub(F.mul(t3, t1), F.mul(t4, y3))
+    y3 = F.add(F.mul(t1, z3), F.mul(y3, t0_3))
+    z3 = F.add(F.mul(z3, t4), F.mul(t0_3, t3))
+    if mixed:
+        # Q == identity (stream padding): complete formulas don't cover
+        # an affine-encoded identity -- pass P through.
+        q_inf = F.is_zero(z2)
+        x3 = F.select(q_inf, x1, x3)
+        y3 = F.select(q_inf, y1, y3)
+        z3 = F.select(q_inf, z1, z3)
+    return x3, y3, z3
+
+
 def _dbl_body(F: _FieldK, x, y, z):
     """dbl-2009-l (a=0).  Identity (z=0) doubles to z=0."""
     A = F.sqr(x)
@@ -229,39 +307,44 @@ def _use_direct() -> bool:
             and os.environ.get("ZKSNAP_TPU_PALLAS_INTERP") != "1")
 
 
+def _run_body(kind: str, F: _FieldK, arrays, b3: int):
+    if kind == "dbl":
+        return _dbl_body(F, *arrays)
+    if kind == "pdbl":
+        return _dbl_body_proj(F, *arrays, b3=b3)
+    if kind in ("padd", "pmadd"):
+        return _add_body_proj(F, *arrays, mixed=(kind == "pmadd"), b3=b3)
+    return _add_body(F, *arrays, mixed=(kind == "madd"))
+
+
 @functools.cache
-def _direct_call(kind: str, p_int: int, n0: int):
+def _direct_call(kind: str, p_int: int, n0: int, b3: int = 0):
     """CPU path: the exact kernel body, jitted as plain jnp."""
     p_limbs = int_to_limbs(p_int)
 
     def run(*arrays):
         p_col = jnp.asarray(p_limbs.reshape(N_LIMBS, 1))
         F = _FieldK(p_col, p_limbs, n0)
-        if kind == "dbl":
-            return _dbl_body(F, *arrays)
-        return _add_body(F, *arrays, mixed=(kind == "madd"))
+        return _run_body(kind, F, arrays, b3)
 
     return jax.jit(run)
 
 
 @functools.cache
 def _point_call(kind: str, p_int: int, n0: int, block: int, n: int,
-                interpret: bool):
+                interpret: bool, b3: int = 0):
     """Jitted pallas_call for one (kind, modulus, width) -- cached so
     eager callers don't re-lower the kernel on every invocation."""
     from jax.experimental import pallas as pl
 
     p_limbs = int_to_limbs(p_int)
-    n_in = 3 if kind == "dbl" else 6
+    n_in = 3 if kind in ("dbl", "pdbl") else 6
 
     def kernel(p_ref, *refs):
         ins, outs = refs[:n_in], refs[n_in:]
         F = _FieldK(p_ref[:, :1], p_limbs, n0)
         vals = [r[:] for r in ins]
-        if kind == "dbl":
-            res = _dbl_body(F, *vals)
-        else:
-            res = _add_body(F, *vals, mixed=(kind == "madd"))
+        res = _run_body(kind, F, vals, b3)
         for o, v in zip(outs, res):
             o[:] = v
 
@@ -283,10 +366,11 @@ def _point_call(kind: str, p_int: int, n0: int, block: int, n: int,
     return jax.jit(lambda *arrays: inner(jnp.asarray(p_tile), *arrays))
 
 
-def _point_fn(kind: str, p_int: int, n0: int, block: int, interpret: bool):
+def _point_fn(kind: str, p_int: int, n0: int, block: int, interpret: bool,
+              b3: int = 0):
     def run(*arrays):
         n = arrays[0].shape[1]
-        return _point_call(kind, p_int, n0, block, n, interpret)(*arrays)
+        return _point_call(kind, p_int, n0, block, n, interpret, b3)(*arrays)
 
     return run
 
@@ -316,27 +400,34 @@ def _pick_block(n: int) -> int:
     return 1024 if n >= 1024 else 128
 
 
-def point_add_fused(p, q, p_int: int, n0: int, mixed: bool = False):
+def point_add_fused(p, q, p_int: int, n0: int, mixed: bool = False,
+                    proj_b3: int = 0):
     """p, q: (x, y, z) tuples of [..., 16] tensors -> fused complete add.
 
-    mixed=True requires q.z in {0, one_mont} (identity or affine)."""
+    Jacobian (proj_b3=0): mixed=True requires q.z in {0, one_mont}.
+    RCB projective (proj_b3=3b of the curve): complete add; mixed=True
+    additionally assumes q affine-or-identity."""
     block = _pick_block(int(np.prod(p[0].shape[:-1]) or 1))
     arrs, bs, n = _to_major([*p, *q], block)
-    kind = "madd" if mixed else "add"
+    kind = ("pmadd" if mixed else "padd") if proj_b3 else (
+        "madd" if mixed else "add")
     if _use_direct():
-        out = _direct_call(kind, p_int, n0)(*arrs)
+        out = _direct_call(kind, p_int, n0, proj_b3)(*arrs)
     else:
-        out = _point_fn(kind, p_int, n0, block, _use_interpret())(*arrs)
+        out = _point_fn(kind, p_int, n0, block, _use_interpret(),
+                        proj_b3)(*arrs)
     return _from_major(out, bs, n)
 
 
-def point_dbl_fused(p, p_int: int, n0: int):
+def point_dbl_fused(p, p_int: int, n0: int, proj_b3: int = 0):
     block = _pick_block(int(np.prod(p[0].shape[:-1]) or 1))
     arrs, bs, n = _to_major(list(p), block)
+    kind = "pdbl" if proj_b3 else "dbl"
     if _use_direct():
-        out = _direct_call("dbl", p_int, n0)(*arrs)
+        out = _direct_call(kind, p_int, n0, proj_b3)(*arrs)
     else:
-        out = _point_fn("dbl", p_int, n0, block, _use_interpret())(*arrs)
+        out = _point_fn(kind, p_int, n0, block, _use_interpret(),
+                        proj_b3)(*arrs)
     return _from_major(out, bs, n)
 
 
@@ -348,7 +439,8 @@ def point_dbl_fused(p, p_int: int, n0: int):
 # --------------------------------------------------------------------------
 
 @functools.cache
-def _bucket_scan_call(p_int: int, n0: int, M: int, K: int, interpret: bool):
+def _bucket_scan_call(p_int: int, n0: int, M: int, K: int, interpret: bool,
+                      b3: int = 0):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -361,17 +453,22 @@ def _bucket_scan_call(p_int: int, n0: int, M: int, K: int, interpret: bool):
 
         @pl.when(k == 0)
         def _init():
-            # identity: (1, 1, 0) in Montgomery form.  Row-by-row scalar
-            # fills: jnp consts would be captured constants (disallowed).
+            # identity: Jacobian (1, 1, 0) / projective (0, 1, 0), in
+            # Montgomery form.  Row-by-row scalar fills: jnp consts would
+            # be captured constants (disallowed).
             az[:] = jnp.zeros((N_LIMBS, M), jnp.uint32)
+            if b3:
+                ax[:] = jnp.zeros((N_LIMBS, M), jnp.uint32)
             for i in range(N_LIMBS):
                 row = jnp.full((M,), np.uint32(one_rows[i]))
-                ax[i, :] = row
+                if not b3:
+                    ax[i, :] = row
                 ay[i, :] = row
 
         F = _FieldK(p_ref[:, :1], p_limbs, n0)
         px, py, pz = x_ref[:], y_ref[:], z_ref[:]
-        sx, sy, sz = _add_body(F, ax[:], ay[:], az[:], px, py, pz, mixed=True)
+        sx, sy, sz = _run_body("pmadd" if b3 else "madd", F,
+                               (ax[:], ay[:], az[:], px, py, pz), b3)
         restart = fl_ref[0, :] != 0  # segment start: accumulator resets
         nx = F.select(restart, px, sx)
         ny = F.select(restart, py, sy)
@@ -409,7 +506,7 @@ def _bucket_scan_call(p_int: int, n0: int, M: int, K: int, interpret: bool):
 
 
 @functools.cache
-def _bucket_scan_direct(p_int: int, n0: int, M: int, K: int):
+def _bucket_scan_direct(p_int: int, n0: int, M: int, K: int, b3: int = 0):
     """CPU path: lax.scan with the exact kernel step body."""
     p_limbs = int_to_limbs(p_int)
     one_rows = int_to_limbs((1 << (LIMB_BITS * N_LIMBS)) % p_int)
@@ -424,17 +521,18 @@ def _bucket_scan_direct(p_int: int, n0: int, M: int, K: int):
         def step(acc, inp):
             ax, ay, az = acc
             px, py, pz, f = inp
-            sx, sy, sz = _add_body(F, ax, ay, az, px, py, pz, mixed=True)
+            sx, sy, sz = _run_body("pmadd" if b3 else "madd", F,
+                                   (ax, ay, az, px, py, pz), b3)
             restart = f != 0
             nx = F.select(restart, px, sx)
             ny = F.select(restart, py, sy)
             nz = F.select(restart, pz, sz)
             return (nx, ny, nz), (nx, ny, nz)
 
-        init = (jnp.broadcast_to(
-                    jnp.asarray(one_rows)[:, None], (N_LIMBS, M)),
-                jnp.broadcast_to(
-                    jnp.asarray(one_rows)[:, None], (N_LIMBS, M)),
+        one_col = jnp.broadcast_to(
+            jnp.asarray(one_rows)[:, None], (N_LIMBS, M))
+        init = (jnp.zeros((N_LIMBS, M), jnp.uint32) if b3 else one_col,
+                one_col,
                 jnp.zeros((N_LIMBS, M), jnp.uint32))
         fk = fl[0].reshape(K, M)
         _, (ox, oy, oz) = jax.lax.scan(
@@ -446,7 +544,8 @@ def _bucket_scan_direct(p_int: int, n0: int, M: int, K: int):
     return jax.jit(run)
 
 
-def bucket_scan_fused(pts_sorted, flags, M: int, K: int, p_int: int, n0: int):
+def bucket_scan_fused(pts_sorted, flags, M: int, K: int, p_int: int, n0: int,
+                      b3: int = 0):
     """Segmented mixed-add scan over the sorted point stream.
 
     pts_sorted: (x, y, z) each [n_pad, 16] limb-minor, sorted by bucket id,
@@ -463,10 +562,10 @@ def bucket_scan_fused(pts_sorted, flags, M: int, K: int, p_int: int, n0: int):
     fl = flags.astype(jnp.uint32).reshape(M, K).T.reshape(1, K * M)
     fl = jnp.pad(fl, ((0, 7), (0, 0)))
     if _use_direct():
-        out = _bucket_scan_direct(p_int, n0, M, K)(
+        out = _bucket_scan_direct(p_int, n0, M, K, b3)(
             fl, *[km_major(a) for a in pts_sorted])
     else:
-        out = _bucket_scan_call(p_int, n0, M, K, _use_interpret())(
+        out = _bucket_scan_call(p_int, n0, M, K, _use_interpret(), b3)(
             fl, *[km_major(a) for a in pts_sorted])
     return tuple(
         a.reshape(N_LIMBS, K, M).transpose(1, 2, 0) for a in out)

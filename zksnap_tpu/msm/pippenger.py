@@ -109,7 +109,8 @@ def _segmented_bucket_sums(ops: CurveOps, pts: JacPoint, ids, n_buckets: int,
         from ..curves.fused import bucket_scan_fused
 
         parts_x, parts_y, parts_z = bucket_scan_fused(
-            (px, py, pz), flags, M, K, ops.F.p, int(ops.F.n0))
+            (px, py, pz), flags, M, K, ops.F.p, int(ops.F.n0),
+            b3=getattr(ops, "b3", 0))
     else:
         pxk, pyk, pzk = to_km(px), to_km(py), to_km(pz)
 
@@ -142,13 +143,19 @@ def _segmented_bucket_sums(ops: CurveOps, pts: JacPoint, ids, n_buckets: int,
     f = jnp.concatenate([jnp.zeros((1,), bool), has_flag[:-1]])
     rows = jnp.arange(M)
 
+    one_y = jnp.asarray(ops.F.one)  # identity must be (0 : 1 : 0): the RCB
+    # complete formulas are only complete for VALID projective points, so
+    # masked-out lanes can't keep rolled garbage in x/y (the Jacobian add
+    # tolerates it via its z==0 select; the projective one does not)
+
     def carry_step(i, state):
         sx, sy, sz, f = state
         d = jnp.left_shift(1, i)
         valid = rows >= d
-        shx = jnp.roll(sx, d, axis=0)
-        shy = jnp.roll(sy, d, axis=0)
-        shz = jnp.where(valid[:, None], jnp.roll(sz, d, axis=0), 0)
+        vc = valid[:, None]
+        shx = jnp.where(vc, jnp.roll(sx, d, axis=0), 0)
+        shy = jnp.where(vc, jnp.roll(sy, d, axis=0), one_y)
+        shz = jnp.where(vc, jnp.roll(sz, d, axis=0), 0)
         shf = jnp.where(valid, jnp.roll(f, d, axis=0), False)
         comb = ops.add(JacPoint(shx, shy, shz), JacPoint(sx, sy, sz))
         keep = f[:, None]  # own block already had a reset: keep own sum
@@ -193,15 +200,17 @@ def _suffix_scan(ops: CurveOps, pts: JacPoint) -> JacPoint:
     axis (axis -2 of the limb tensors), as a fori_loop (one add body)."""
     n = pts.x.shape[-2]
     rows = jnp.arange(n)
+    one_y = jnp.asarray(ops.F.one)
 
     def step(i, state):
         sx, sy, sz = state
         d = jnp.left_shift(1, i)
-        valid = rows < n - d
-        shx = jnp.roll(sx, -d, axis=-2)
-        shy = jnp.roll(sy, -d, axis=-2)
-        shz = jnp.roll(sz, -d, axis=-2)
-        shz = jnp.where(valid[:, None], shz, jnp.zeros_like(shz))
+        valid = (rows < n - d)[:, None]
+        # out-of-range rows become a VALID identity (0:1:0), not z=0 with
+        # rolled garbage -- the RCB complete add requires valid points
+        shx = jnp.where(valid, jnp.roll(sx, -d, axis=-2), 0)
+        shy = jnp.where(valid, jnp.roll(sy, -d, axis=-2), one_y)
+        shz = jnp.where(valid, jnp.roll(sz, -d, axis=-2), 0)
         s = ops.add(JacPoint(sx, sy, sz), JacPoint(shx, shy, shz))
         return (s.x, s.y, s.z)
 
@@ -352,6 +361,17 @@ class MSM:
 
 @functools.cache
 def bn254_msm() -> MSM:
+    """Jacobian-coordinate MSM (kept for parity tests)."""
     from ..curves.jacobian import bn254_ops
 
     return MSM(bn254_ops())
+
+
+@functools.cache
+def bn254_msm_proj() -> MSM:
+    """RCB complete-projective MSM -- the fast path.  NOTE: the returned
+    JacPoint holds PROJECTIVE coordinates; convert with
+    `bn254_proj_ops().to_affine_host` / `.normalize`."""
+    from ..curves.proj import bn254_proj_ops
+
+    return MSM(bn254_proj_ops())

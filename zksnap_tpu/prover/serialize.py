@@ -34,9 +34,9 @@ def save_pk(pk, path: str):
 
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     fixed_host = {k: np.asarray(jax.device_get(v))
-                  for k, v in pk.fixed_dev.items()}
+                  for k, v in pk.fixed_coeffs.items()}
     with open(path, "wb") as f:
-        pickle.dump({"vk": pk.vk, "layout": pk.layout,
+        pickle.dump({"vk": pk.vk, "layout": pk.layout, "fixed_form": "coeff",
                      "fixed": fixed_host, "srs_k": pk.srs.k}, f)
 
 
@@ -48,9 +48,11 @@ def load_pk(path: str):
 
     with open(path, "rb") as f:
         d = pickle.load(f)
-    fixed_dev = {k: jnp.asarray(v) for k, v in d["fixed"].items()}
+    assert d.get("fixed_form") == "coeff", \
+        "pk file predates the coefficient-form prover; re-run keygen"
+    fixed = {k: jnp.asarray(v) for k, v in d["fixed"].items()}
     return ProvingKey(vk=d["vk"], layout=d["layout"], srs=gen_srs(d["srs_k"]),
-                      fixed_dev=fixed_dev)
+                      fixed_coeffs=fixed)
 
 
 def save_vk(vk, path: str):

@@ -128,6 +128,13 @@ def gen_srs(k: int, seed: bytes = b"dev") -> SRS:
         )
 
     tau_g2 = pr.g2_mul(pr.G2_GEN, tau)
+    # normalize to affine-or-identity (z in {0, 1}): msm_impl streams the
+    # points through mixed-add kernels that REQUIRE it, and the projective-
+    # coordinate MSM reinterprets the same limbs as homogeneous (x:y:z) --
+    # unnormalized Jacobian z would silently change the point.  Applied on
+    # the cache-load path too so stale unnormalized caches self-heal.
+    g1 = ops.normalize(g1)
+    g1_lag = ops.normalize(g1_lag)
     return SRS(k, g1, g1_lag, tau_g2, pr.G2_GEN)
 
 
@@ -159,6 +166,27 @@ def _read_g1(buf: bytes, off: int):
     return x, y, False
 
 
+def _g2_in_subgroup(pt) -> bool:
+    """r-torsion check: [r]Q == identity.
+
+    BN254's twist has a large cofactor, so an on-twist point is NOT
+    necessarily in the r-order subgroup; pairings on off-subgroup points
+    are ill-defined.  The reference stack (halo2curves) subgroup-checks G2
+    on deserialization -- this is the equivalent for untrusted ceremony
+    files.  g2_mul reduces the scalar mod r, so the ladder is inlined."""
+    from .pairing import R, g2_add
+
+    acc = None
+    add = pt
+    k = R
+    while k:
+        if k & 1:
+            acc = g2_add(acc, add)
+        add = g2_add(add, add)
+        k >>= 1
+    return acc is None
+
+
 def _read_g2(buf: bytes, off: int):
     from .pairing import Fq2, g2_is_on_curve
 
@@ -167,6 +195,8 @@ def _read_g2(buf: bytes, off: int):
     pt = (Fq2(c[0], c[1]), Fq2(c[2], c[3]))
     if not g2_is_on_curve(pt):
         raise ValueError(f"G2 point at byte {off} not on the twist")
+    if not _g2_in_subgroup(pt):
+        raise ValueError(f"G2 point at byte {off} not in the r-order subgroup")
     return pt
 
 
