@@ -52,9 +52,9 @@ def sync(x):
 def main():
     import zksnap_tpu  # noqa: F401  (enables the compile cache)
     from zksnap_tpu.curves.jacobian import bn254_ops
-    from zksnap_tpu.msm.pippenger import MSM
+    from zksnap_tpu.msm.pippenger import bn254_msm_proj
 
-    ops = bn254_ops()
+    ops = bn254_ops()  # point generation only; the MSM runs projective
     n = 1 << 16
 
     @jax.jit
@@ -74,7 +74,7 @@ def main():
     scalars = jax.random.randint(key, (n, 16), 0, 1 << 16, dtype=jnp.uint32)
     scalars = scalars.at[:, 15].set(scalars[:, 15] & 0x3FFF)  # < 2^254
 
-    msm = MSM(ops)
+    msm = bn254_msm_proj()           # RCB complete-projective fast path
     out = msm(pts, scalars)          # compile + first run
     sync(out.z)
 

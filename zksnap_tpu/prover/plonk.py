@@ -569,7 +569,28 @@ def _perm_value_columns(layout: Layout) -> list[list[int]]:
 # Quotient on the extended coset domain
 # ---------------------------------------------------------------------------
 
-@functools.lru_cache(maxsize=8)
+@functools.lru_cache(maxsize=16)
+def _coset_tables_fn(k: int):
+    """ONE jitted program per k serving every coset (eager FR ops here
+    were 300+ separate dispatches per coset -- suite-killing on CPU)."""
+    n = 1 << k
+
+    def f(omega_pows, s, zh, wu):
+        x_dev = FR.mul(omega_pows, s[None, :])
+        one = jnp.broadcast_to(jnp.asarray(FR.one), (n, 16))
+        n_mont = jnp.asarray(FR.const_np(n))[None, :]
+        den0 = FR.mul(n_mont, FR.sub(x_dev, one))
+        denU = FR.mul(n_mont, FR.sub(
+            x_dev, jnp.broadcast_to(wu, (n, 16))))
+        l0_dev = FR.mul(zh[None, :], FR.batch_inv(den0))
+        lu_dev = FR.mul(FR.mul(zh[None, :], FR.batch_inv(denU)),
+                        wu[None, :])
+        return x_dev, l0_dev, lu_dev
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=64)
 def _coset_tables(k: int, e_log: int, j: int, usable: int):
     """Per-coset quotient tables, built ON DEVICE: x_i = g*w_e^j*w^i,
     l0_i, lu_i (each [n,16] Montgomery) and the scalar zh^-1 ([16]) --
@@ -583,22 +604,12 @@ def _coset_tables(k: int, e_log: int, j: int, usable: int):
     n = 1 << k
     dome = domain(k + e_log)
     s = FR.generator * pow(dome.omega, j, P) % P
-
-    x_dev = FR.mul(pow_series(domain(k).omega, n),
-                   jnp.asarray(FR.const(s))[None, :])
     zh = (pow(s, n, P) - 1) % P
     zhinv_dev = jnp.asarray(FR.const(pow(zh, -1, P)))
-    zh_mont = jnp.asarray(FR.const(zh))
-
     wu = pow(domain(k).omega, usable, P)
-    n_mont = jnp.asarray(FR.const(n))[None, :]
-    one = jnp.broadcast_to(jnp.asarray(FR.one), (n, 16))
-    den0 = FR.mul(n_mont, FR.sub(x_dev, one))
-    denU = FR.mul(n_mont, FR.sub(
-        x_dev, jnp.broadcast_to(jnp.asarray(FR.const(wu)), (n, 16))))
-    l0_dev = FR.mul(zh_mont[None, :], FR.batch_inv(den0))
-    lu_dev = FR.mul(FR.mul(zh_mont[None, :], FR.batch_inv(denU)),
-                    jnp.asarray(FR.const(wu))[None, :])
+    x_dev, l0_dev, lu_dev = _coset_tables_fn(k)(
+        pow_series(domain(k).omega, n), jnp.asarray(FR.const(s)),
+        jnp.asarray(FR.const(zh)), jnp.asarray(FR.const(wu)))
     return x_dev, l0_dev, lu_dev, zhinv_dev
 
 
