@@ -3,26 +3,42 @@
 
 The TPU analogue of the reference's `cargo bench --bench voter_circuit`
 (voter/benches/voter_circuit.rs: witness gen + gen_proof at K=13) plus the
-self-verify from wrapper.rs:141-155.
+self-verify from wrapper.rs:141-155.  `--plume` turns on the reference's
+dominant LIVE constraint, `verify_plume(ctx, ecc, sha256, 4, 4, input)`
+(voter/src/lib.rs:276-283); `--enc` additionally enables the Paillier
+re-encryption check the reference keeps commented out
+(voter/src/lib.rs:243-248).
 
-Usage: python scripts/prove_voter_tpu.py [k]
+Usage: python scripts/prove_voter_tpu.py [k] [--plume] [--enc] [--no-check]
 """
 
+import argparse
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-import numpy as np
 import jax
 
 
 def main():
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 13
+    ap = argparse.ArgumentParser()
+    ap.add_argument("k", nargs="?", type=int, default=13)
+    ap.add_argument("--plume", action="store_true",
+                    help="enable in-circuit PLUME verification (the "
+                         "reference's live heavyweight constraint)")
+    ap.add_argument("--enc", action="store_true",
+                    help="enable the Paillier re-encryption check")
+    ap.add_argument("--no-check", action="store_true",
+                    help="skip the MockProver-style witness check")
+    ap.add_argument("--warm-iters", type=int, default=1)
+    args = ap.parse_args()
+    k = args.k
     import random
 
-    from zksnap_tpu.circuits.voter import expected_instances, voter_circuit
+    from zksnap_tpu.circuits.voter import (
+        VoterFlags, expected_instances, voter_circuit)
     from zksnap_tpu.natives import generate_random_voter_circuit_inputs
     from zksnap_tpu.prover.plonk import keygen, prove, verify
     from zksnap_tpu.prover.srs import gen_srs
@@ -36,10 +52,15 @@ def main():
     # halo2-base convention: lookup_bits = k - 1 (reference uses 14 at k=15)
     ctx = Context(lookup_bits=min(14, k - 1))
     pub = []
-    voter_circuit(ctx, inp, pub)
-    stats = check(ctx, expected_instances(inp))
+    flags = VoterFlags(check_plume=args.plume, check_encryption=args.enc)
+    voter_circuit(ctx, inp, pub, flags)
     t_wit = time.time() - t0
-    print(f"witness gen + mock check: {t_wit:.2f}s  {stats}", flush=True)
+    print(f"witness gen: {t_wit:.2f}s  {ctx.stats()}  flags={flags}",
+          flush=True)
+    if not args.no_check:
+        t0 = time.time()
+        stats = check(ctx, expected_instances(inp))
+        print(f"mock check: {time.time()-t0:.2f}s  {stats}", flush=True)
 
     t0 = time.time()
     srs = gen_srs(k)
@@ -55,17 +76,18 @@ def main():
     t0 = time.time()
     proof = prove(pk, instances)
     t_prove = time.time() - t0
-    print(f"prove: {t_prove:.1f}s ({len(proof)} proof elements)", flush=True)
+    print(f"prove: {t_prove:.1f}s ({len(proof)} proof bytes)", flush=True)
 
     t0 = time.time()
     ok = verify(pk.vk, srs.g2, srs.tau_g2, instances, proof)
     print(f"verify: {ok} ({time.time()-t0:.1f}s)", flush=True)
     assert ok
 
-    # second proof with warm caches = the steady-state number
-    t0 = time.time()
-    proof2 = prove(pk, instances)
-    print(f"prove (warm): {time.time()-t0:.1f}s", flush=True)
+    # warm proofs with compiled kernels = the steady-state number
+    for _ in range(args.warm_iters):
+        t0 = time.time()
+        prove(pk, instances)
+        print(f"prove (warm): {time.time()-t0:.1f}s", flush=True)
 
 
 if __name__ == "__main__":

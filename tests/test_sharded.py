@@ -74,3 +74,53 @@ def test_protocol_mesh_and_scaling_harness():
     sub = chip_submesh(pm)
     out = sharded_msm(ops, P, s_dev, sub, c=6)
     assert ops.to_affine_host(out) == [want]
+
+
+def test_four_step_inverse_matches_single(rng):
+    """inverse=True four-step == single-chip iNTT (up to the n^-1 scale)."""
+    from zksnap_tpu.fields import bn254_fr
+    from zksnap_tpu.poly.ntt import (
+        four_step_input_perm,
+        four_step_ntt,
+        four_step_output_perm,
+        ntt,
+    )
+
+    F = bn254_fr()
+    k, ndev = 9, 8
+    mesh = jax.make_mesh((ndev,), ("x",),
+                         axis_types=(jax.sharding.AxisType.Auto,))
+    vals = [rng.randrange(F.p) for _ in range(1 << k)]
+    x = np.asarray(jax.device_get(F.to_mont(vals)))
+    out = four_step_ntt(jnp.asarray(x[four_step_input_perm(k, ndev)]), k,
+                        mesh, inverse=True)
+    outn = np.asarray(jax.device_get(out))[four_step_output_perm(k, ndev)]
+    # single-chip inverse includes the n^-1 scale; undo it for comparison
+    n_inv = pow(1 << k, -1, F.p)
+    want = F.from_mont(ntt(k).inverse(jnp.asarray(x)))
+    got = F.from_mont(jnp.asarray(outn))
+    assert [v * n_inv % F.p for v in got] == want
+
+
+def test_mesh_sharded_prove_verifies(rng):
+    """prove(mesh=...) runs commits through sharded_msm and NTTs through
+    the four-step transform (VERDICT r2 next-step 5); the proof must
+    verify with the ordinary host verifier."""
+    from zksnap_tpu.prover.plonk import keygen, prove, verify
+    from zksnap_tpu.prover.srs import gen_srs
+    from zksnap_tpu.trace import Context
+
+    mesh = jax.make_mesh((8,), ("x",),
+                         axis_types=(jax.sharding.AxisType.Auto,))
+    K = 7
+    ctx = Context(lookup_bits=6)
+    a = ctx.load_witness(7)
+    b = ctx.load_witness(9)
+    c = ctx.mul(a, b)
+    d = ctx.add(c, ctx.load_constant(5))
+    ctx.range_check(ctx.load_witness(37), 6)
+    ctx.expose_public(d)
+    srs = gen_srs(K)
+    pk = keygen(ctx, K, srs, mesh=mesh)
+    proof = prove(pk, [68], mesh=mesh)
+    assert verify(pk.vk, srs.g2, srs.tau_g2, [68], proof)

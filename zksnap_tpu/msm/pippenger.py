@@ -270,7 +270,7 @@ def _weighted_bucket_reduce(ops: CurveOps, buckets: JacPoint, c: int):
 
 
 def msm_impl(ops: CurveOps, pts: JacPoint, scalars, c: int, n_windows: int,
-             lanes: int | None = None):
+             lanes: int | None = None, window_group: int | None = None):
     """Full Pippenger: -> JacPoint (scalar batch shape ()).
 
     `pts` MUST be affine-or-identity (z in {0, 1}): the accumulation
@@ -278,21 +278,67 @@ def msm_impl(ops: CurveOps, pts: JacPoint, scalars, c: int, n_windows: int,
     load points via `from_affine_host` / the SRS cache, which satisfy
     this.
 
-    ALL windows are processed in one flattened pipeline: composite bucket
-    ids (window << c | digit) feed a single sort + two-level segmented
-    accumulation over W*n elements (maximum batch width for the Pallas
+    Windows are processed in groups of `window_group` (default: all W at
+    once) through a flattened pipeline: composite bucket ids
+    (window << c | digit) feed a single sort + two-level segmented
+    accumulation over G*n elements (maximum batch width for the Pallas
     field kernels), the per-window weighted reductions run batched over
     the window axis, and only the cheap Horner double-chain is sequential.
+    Grouping bounds peak HBM: the tiled point stream + its sorted copy is
+    ~2 * G * n * 192B, which at n=2^21, G=W=16 is 13GB -- past a v5e chip;
+    G=2 keeps the same total work in ~1.6GB windows (`_group_windows`).
     """
     n = scalars.shape[0]
     W, B = n_windows, 1 << c
-    digits = jnp.stack([window_digits(scalars, c, w) for w in range(W)])
-    flat_ids = (jnp.arange(W, dtype=jnp.int32)[:, None] * B + digits).reshape(-1)
-    tiled = JacPoint(
-        jnp.tile(pts.x, (W, 1)), jnp.tile(pts.y, (W, 1)), jnp.tile(pts.z, (W, 1))
-    )
-    flat_buckets = _segmented_bucket_sums(ops, tiled, flat_ids, W * B,
-                                          lanes=lanes)
+    wg = min(window_group or W, W)
+    if wg == W:
+        digits = jnp.stack([window_digits(scalars, c, w) for w in range(W)])
+        flat_ids = (jnp.arange(W, dtype=jnp.int32)[:, None] * B
+                    + digits).reshape(-1)
+        tiled = JacPoint(
+            jnp.tile(pts.x, (W, 1)), jnp.tile(pts.y, (W, 1)),
+            jnp.tile(pts.z, (W, 1))
+        )
+        flat_buckets = _segmented_bucket_sums(ops, tiled, flat_ids, W * B,
+                                              lanes=lanes)
+    elif W % wg == 0:
+        # lax.scan over window groups: ONE compiled pipeline instance, and
+        # peak HBM bounded by one group's tiled streams
+        G = W // wg
+        digits = jnp.stack([window_digits(scalars, c, w) for w in range(W)])
+        ids_g = (jnp.arange(wg, dtype=jnp.int32)[None, :, None] * B
+                 + digits.reshape(G, wg, n)).reshape(G, wg * n)
+        tiled = JacPoint(
+            jnp.tile(pts.x, (wg, 1)), jnp.tile(pts.y, (wg, 1)),
+            jnp.tile(pts.z, (wg, 1))
+        )
+
+        def body(_, ids):
+            fb = _segmented_bucket_sums(ops, tiled, ids, wg * B, lanes=lanes)
+            return None, (fb.x, fb.y, fb.z)
+
+        _, (bx, by, bz) = jax.lax.scan(body, None, ids_g)
+        flat_buckets = JacPoint(bx.reshape(W * B, N_LIMBS),
+                                by.reshape(W * B, N_LIMBS),
+                                bz.reshape(W * B, N_LIMBS))
+    else:
+        parts = []
+        for g0 in range(0, W, wg):
+            gw = min(wg, W - g0)
+            digits = jnp.stack(
+                [window_digits(scalars, c, w) for w in range(g0, g0 + gw)])
+            flat_ids = (jnp.arange(gw, dtype=jnp.int32)[:, None] * B
+                        + digits).reshape(-1)
+            tiled = JacPoint(
+                jnp.tile(pts.x, (gw, 1)), jnp.tile(pts.y, (gw, 1)),
+                jnp.tile(pts.z, (gw, 1))
+            )
+            parts.append(_segmented_bucket_sums(ops, tiled, flat_ids,
+                                                gw * B, lanes=lanes))
+        flat_buckets = JacPoint(
+            jnp.concatenate([p.x for p in parts]),
+            jnp.concatenate([p.y for p in parts]),
+            jnp.concatenate([p.z for p in parts]))
     buckets = JacPoint(
         flat_buckets.x.reshape(W, B, -1),
         flat_buckets.y.reshape(W, B, -1),
@@ -324,6 +370,12 @@ def msm_impl(ops: CurveOps, pts: JacPoint, scalars, c: int, n_windows: int,
     return _tree_reduce(ops, pts, 0)
 
 
+def _group_windows(n: int, n_windows: int) -> int:
+    """Windows per bucket-accumulation pass: cap the tiled point stream at
+    ~2^22 points (~1.6GB with its sorted copy)."""
+    return max(1, min(n_windows, (1 << 22) // max(n, 1)))
+
+
 class MSM:
     """Jit-compiled Pippenger MSM for one curve."""
 
@@ -346,7 +398,8 @@ class MSM:
     def _compiled(self, n: int, c: int, n_windows: int, lanes: int | None):
         return jax.jit(
             lambda px, py, pz, s: msm_impl(
-                self.ops, JacPoint(px, py, pz), s, c, n_windows, lanes=lanes
+                self.ops, JacPoint(px, py, pz), s, c, n_windows, lanes=lanes,
+                window_group=_group_windows(n, n_windows),
             )
         )
 

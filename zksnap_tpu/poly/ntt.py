@@ -119,18 +119,28 @@ def four_step_output_perm(k: int, ndev: int) -> np.ndarray:
     return d * n2 + t1 * chunk + r
 
 
-def four_step_ntt(x, k: int, mesh, axis: str = "x"):
+def four_step_ntt(x, k: int, mesh, axis: str = "x", inverse: bool = False):
     """Distributed NTT of size n = 2^k over `mesh` (1-d axis `axis`).
 
     x: [n, 16] in the cyclic layout of `four_step_input_perm` (device d gets
     the residue-class d elements).  Returns the permuted evaluation layout
     undone by `four_step_output_perm`.
 
+    `inverse=True` runs the transform with omega^-1 throughout (the caller
+    scales by n^-1), so iNTTs shard the same way.
+
     Math (s = i1 + n1*i2, t = t2 + n2*t1):
       X[t2 + n2 t1] = sum_i1 (w^(i1 t2) * NTT_n2(x[i1 + n1*.])[t2]) * (w^n2)^(i1 t1)
     i.e. local length-n2 NTTs -> twiddle scale by w^(i1*t2) -> all_to_all
     transpose (the single ICI exchange) -> local length-n1 NTTs.
     """
+    return _four_step_fn(k, mesh, axis, inverse)(x)
+
+
+@functools.lru_cache(maxsize=64)
+def _four_step_fn(k: int, mesh, axis: str, inverse: bool):
+    """One compiled program per (k, mesh, axis, direction) -- building the
+    shard_map closure per call would retrace every invocation."""
     from jax.sharding import PartitionSpec as P
 
     F = domain(k).F
@@ -142,9 +152,14 @@ def four_step_ntt(x, k: int, mesh, axis: str = "x"):
     n1, n2 = ndev, n >> k1
     assert n2 % n1 == 0, "need n/ndev^2 >= 1"
 
-    tw2 = np.asarray(jax.device_get(domain(k2).twiddles))
-    tw1 = np.asarray(jax.device_get(domain(k1).twiddles)) if k1 > 0 else None
+    d2, d1 = domain(k2), (domain(k1) if k1 > 0 else None)
+    tw2 = np.asarray(jax.device_get(
+        d2.twiddles_inv if inverse else d2.twiddles))
+    tw1 = (np.asarray(jax.device_get(
+        d1.twiddles_inv if inverse else d1.twiddles)) if k1 > 0 else None)
     omega = domain(k).omega
+    if inverse:
+        omega = pow(omega, -1, F.p)
 
     def local(xs):
         # xs: [n2, 16] = x[i1 + n1*i2] for our i1 = mesh position.
@@ -168,8 +183,13 @@ def four_step_ntt(x, k: int, mesh, axis: str = "x"):
         out_specs=P(axis, None),
         check_vma=False,  # scan carries start unvarying; skip vma typing
     )
-    with jax.set_mesh(mesh):
-        return jax.jit(sharded)(x)
+    jf = jax.jit(sharded)
+
+    def run(x):
+        with jax.set_mesh(mesh):
+            return jf(x)
+
+    return run
 
 
 def _omega_pow(F: PrimeField, omega_int: int, e):

@@ -141,7 +141,19 @@ def _sigma_values_dev(layout: Layout) -> list:
     return [stack[j] for j in range(len(layout.perm_columns))]
 
 
-def keygen(ctx: Context, k: int, srs: SRS | None = None) -> ProvingKey:
+def keygen(ctx: Context, k: int, srs: SRS | None = None,
+           mesh=None, mesh_axis: str = "x") -> ProvingKey:
+    """Layout + pk/vk generation; `mesh` runs the commitment MSMs and NTTs
+    mesh-sharded (see `prove`)."""
+    if mesh is not None:
+        from .poly_device import prover_mesh
+
+        with prover_mesh(mesh, mesh_axis):
+            return _keygen_impl(ctx, k, srs)
+    return _keygen_impl(ctx, k, srs)
+
+
+def _keygen_impl(ctx: Context, k: int, srs: SRS | None = None) -> ProvingKey:
     layout = layout_circuit(ctx, k)
     srs = srs or gen_srs(k)
     n_perm = len(layout.perm_columns)
@@ -232,8 +244,15 @@ def rebind_witness(pk: ProvingKey, ctx: Context) -> ProvingKey:
                       fixed_coeffs=pk.fixed_coeffs)
 
 
-def prove(pk: ProvingKey, instances: list[int]) -> bytes:
+def prove(pk: ProvingKey, instances: list[int],
+          mesh=None, mesh_axis: str = "x") -> bytes:
     """Prove; ZK blinding fills the reserved tail rows (see _blind_*).
+
+    `mesh`: a jax.sharding.Mesh -- every commitment MSM runs
+    tensor-parallel (local Pippenger + one all_gather) and every NTT runs
+    as the all_to_all four-step transform over `mesh_axis`
+    (poly_device.prover_mesh); elementwise kernels inherit shardings via
+    GSPMD.  `mesh=None` (default) is the single-chip path.
 
     Blinding (halo2 create_proof parity, wrapper.rs:129-137): every
     witness-carrying committed polynomial gets random values in the
@@ -246,6 +265,15 @@ def prove(pk: ProvingKey, instances: list[int]) -> bytes:
     caveat as halo2's own lookup argument carries for its product
     column inputs.
     """
+    if mesh is not None:
+        from .poly_device import prover_mesh
+
+        with prover_mesh(mesh, mesh_axis):
+            return _prove_impl(pk, instances)
+    return _prove_impl(pk, instances)
+
+
+def _prove_impl(pk: ProvingKey, instances: list[int]) -> bytes:
     import secrets
 
     layout = pk.layout
@@ -740,7 +768,10 @@ def _quotient_kernel(k, n_advice, n_lookup, n_perm, usable, deltas,
 
         return FR.mul(total, jnp.broadcast_to(zhinv_dev, total.shape))
 
-    return jax.jit(f)
+    # donate the coset evals: they are single-use (freed right after the
+    # call), and donation lets XLA release each poly's buffer at its last
+    # read -- at wrapper scale the evals list alone is ~5GB/coset
+    return jax.jit(f, donate_argnums=(0,))
 
 
 # ---------------------------------------------------------------------------

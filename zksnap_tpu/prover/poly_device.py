@@ -18,6 +18,7 @@ limb-tensor ops:
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -32,6 +33,39 @@ from ..poly.domain import domain
 from ..poly.ntt import _ntt_impl, _bitrev_perm
 
 FR = bn254_fr()
+
+
+# -- mesh context -------------------------------------------------------------
+#
+# `prover_mesh` makes every commitment MSM and every NTT issued inside the
+# context run mesh-sharded (SURVEY.md section 2.3: tensor-parallel MSM via
+# psum-style gather, sequence-parallel NTT via all_to_all).  Elementwise
+# kernels need no explicit treatment -- they inherit input shardings through
+# GSPMD propagation.  With no active context everything stays single-device.
+
+_ACTIVE_MESH: list = []  # stack of (mesh, axis)
+
+
+@contextlib.contextmanager
+def prover_mesh(mesh, axis: str = "x"):
+    """Run prover kernels mesh-sharded inside this context."""
+    _ACTIVE_MESH.append((mesh, axis))
+    try:
+        yield
+    finally:
+        _ACTIVE_MESH.pop()
+
+
+def _mesh_for(n: int):
+    """(mesh, axis) if a mesh is active and a length-n axis splits evenly
+    into >= ndev^2 elements (the four-step layout needs n2 % n1 == 0)."""
+    if not _ACTIVE_MESH:
+        return None
+    mesh, axis = _ACTIVE_MESH[-1]
+    ndev = mesh.shape[axis]
+    if ndev <= 1 or n % ndev or n < ndev * ndev:
+        return None
+    return mesh, axis
 
 
 @functools.cache
@@ -88,6 +122,10 @@ def commit_evals(srs_lagrange: JacPoint, values):
     n = values.shape[0]
     c = max(4, min(16, n.bit_length() - 4))
     n_windows = -(-254 // c)
+    sh = _mesh_for(n)
+    if sh is not None:
+        return _commit_sharded_jit(n, c, n_windows, sh[0], sh[1])(
+            srs_lagrange.x, srs_lagrange.y, srs_lagrange.z, values)
     return _commit_jit(n, c, n_windows)(
         srs_lagrange.x, srs_lagrange.y, srs_lagrange.z, values
     )
@@ -101,12 +139,69 @@ def _commit_jit(n: int, c: int, n_windows: int):
     Fq = ops.F
 
     def f(px, py, pz, scalars):
+        from ..msm.pippenger import _group_windows
+
         r = msm_impl(ops, JacPoint(px[:n], py[:n], pz[:n]), scalars, c,
-                     n_windows)
+                     n_windows, window_group=_group_windows(n, n_windows))
         # projective (X:Y:Z) -> Jacobian (X*Z, Y*Z^2, Z); identity Z=0 ok
         return JacPoint(Fq.mul(r.x, r.z), Fq.mul(r.y, Fq.square(r.z)), r.z)
 
     return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=64)
+def _commit_sharded_jit(n: int, c: int, n_windows: int, mesh, axis: str):
+    """Tensor-parallel commitment: each device Pippengers its point/scalar
+    shard, the ndev partial sums ride ONE all_gather (3*ndev field elements
+    over ICI), and every device tree-combines locally -- communication is
+    O(ndev), compute scales 1/ndev (parallel/sharded.py `sharded_msm`
+    wired into the prover's commit path)."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..curves.proj import bn254_proj_ops
+
+    ops = bn254_proj_ops()
+    Fq = ops.F
+    ndev = mesh.shape[axis]
+
+    def local(px, py, pz, s):
+        from ..msm.pippenger import _group_windows
+
+        part = msm_impl(ops, JacPoint(px, py, pz), s, c, n_windows,
+                        window_group=_group_windows(n // ndev, n_windows))
+        gx = jax.lax.all_gather(part.x, axis)  # [ndev, 16]
+        gy = jax.lax.all_gather(part.y, axis)
+        gz = jax.lax.all_gather(part.z, axis)
+        acc = JacPoint(gx, gy, gz)
+        m = ndev
+        while m > 1:
+            half = m // 2
+            acc = ops.add(
+                JacPoint(acc.x[:half], acc.y[:half], acc.z[:half]),
+                JacPoint(acc.x[half:m], acc.y[half:m], acc.z[half:m]),
+            )
+            m = half
+        return JacPoint(acc.x[0], acc.y[0], acc.z[0])
+
+    f = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis, None),) * 4,
+        out_specs=JacPoint(P(None), P(None), P(None)),
+        check_vma=False,
+    )
+
+    def g(px, py, pz, scalars):
+        r = f(px[:n], py[:n], pz[:n], scalars)
+        # projective (X:Y:Z) -> Jacobian (X*Z, Y*Z^2, Z); identity Z=0 ok
+        return JacPoint(Fq.mul(r.x, r.z), Fq.mul(r.y, Fq.square(r.z)), r.z)
+
+    jf = jax.jit(g)
+
+    def run(px, py, pz, scalars):
+        with jax.set_mesh(mesh):
+            return jf(px, py, pz, scalars)
+
+    return run
 
 
 def mont_to_canonical(values):
@@ -170,7 +265,28 @@ def _coset_interp_fn(k: int, ext_factor_log: int):
 
 
 def coset_interpolate(evals, k: int, ext_factor_log: int):
+    ke = k + ext_factor_log
+    sh = _mesh_for(1 << ke)
+    if sh is not None:
+        c = _four_step_natural(evals, ke, sh, True)
+        return _coset_interp_scale_fn(k, ext_factor_log)(c)
     return _coset_interp_fn(k, ext_factor_log)(evals)
+
+
+@functools.cache
+def _coset_interp_scale_fn(k: int, ext_factor_log: int):
+    """The iNTT post-scale of `_coset_interp_fn` (n^-1 then g^-i) for the
+    sharded path, where the transform itself runs in `four_step_ntt`."""
+    ke = k + ext_factor_log
+    ne = 1 << ke
+    g_inv = pow(FR.generator, -1, FR.p)
+    n_inv = FR.const_np(pow(ne, -1, FR.p))
+
+    def f(coeffs, gp_inv):
+        return FR.mul(FR.mul(coeffs, jnp.asarray(n_inv)[None, :]), gp_inv)
+
+    jf = jax.jit(f)
+    return lambda coeffs: jf(coeffs, pow_series(g_inv, ne))
 
 
 @functools.cache
@@ -199,7 +315,42 @@ def _inv_ntt_fn(k: int):
 
 def evals_to_coeffs(evals, k: int):
     """[n,16] evaluations on H (natural order) -> coefficient form."""
+    sh = _mesh_for(1 << k)
+    if sh is not None:
+        return _scale_n_inv_fn(k)(_four_step_natural(evals, k, sh, True))
     return _inv_ntt_fn(k)(evals)
+
+
+# -- mesh-sharded NTT plumbing ------------------------------------------------
+
+@functools.lru_cache(maxsize=32)
+def _four_step_perms(k: int, ndev: int):
+    from ..poly.ntt import four_step_input_perm, four_step_output_perm
+
+    return (jnp.asarray(four_step_input_perm(k, ndev)),
+            jnp.asarray(four_step_output_perm(k, ndev)))
+
+
+def _four_step_natural(x, k: int, sh, inverse: bool):
+    """natural-order in -> natural-order out via the all_to_all four-step
+    NTT (poly/ntt.py): input/output layout permutations are device gathers."""
+    from ..poly.ntt import four_step_ntt
+
+    mesh, axis = sh
+    inp, outp = _four_step_perms(k, mesh.shape[axis])
+    y = four_step_ntt(x[inp], k, mesh, axis, inverse=inverse)
+    return y[outp]
+
+
+@functools.cache
+def _scale_n_inv_fn(k: int):
+    n_inv = FR.const_np(pow(1 << k, -1, FR.p))
+    return jax.jit(lambda x: FR.mul(x, jnp.asarray(n_inv)[None, :]))
+
+
+@functools.cache
+def _mul_pair_fn():
+    return jax.jit(FR.mul)
 
 
 @functools.cache
@@ -220,6 +371,10 @@ def _coset_evals_fn(k: int):
 def coset_evals(coeffs, s_pows, k: int):
     """Evaluate a coefficient-form poly on the coset {s * w^i}: scale
     coefficient j by s^j (s_pows, [n,16] Montgomery) then forward NTT."""
+    sh = _mesh_for(1 << k)
+    if sh is not None:
+        return _four_step_natural(_mul_pair_fn()(coeffs, s_pows), k, sh,
+                                  False)
     return _coset_evals_fn(k)(coeffs, s_pows)
 
 
@@ -241,6 +396,9 @@ def pow_series_traced(base_mont, n: int):
 
 def coeffs_to_evals(coeffs, k: int):
     """[n,16] coefficient form -> evaluations on H (natural order)."""
+    sh = _mesh_for(1 << k)
+    if sh is not None:
+        return _four_step_natural(coeffs, k, sh, False)
     return _fwd_ntt_fn(k)(coeffs)
 
 
