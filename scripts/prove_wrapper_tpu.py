@@ -71,12 +71,15 @@ def main():
         vpk = keygen(_toy_voter_ctx(outs[0][0]), k_child, srs_child)
         spk = keygen(_toy_state_ctx(*outs[0]), k_child, srs_child)
 
-        def child_snarks(r):
+        def child_ctxs(r):
+            """Host-only synthesis (runs on the Lookahead worker)."""
             vi, vo = outs[r]
-            pkv = rebind_witness(vpk, _toy_voter_ctx(vi))
-            pks = rebind_witness(spk, _toy_state_ctx(vi, vo))
-            return (Snark(vpk.vk, [vi], prove(pkv, [vi])),
-                    Snark(spk.vk, [vi, vo], prove(pks, [vi, vo])))
+            return _toy_voter_ctx(vi), [vi], _toy_state_ctx(vi, vo), [vi, vo]
+
+        def child_snarks(synth):
+            vc, vi, sc, si = synth
+            return (Snark(vpk.vk, vi, prove(rebind_witness(vpk, vc), vi)),
+                    Snark(spk.vk, si, prove(rebind_witness(spk, sc), si)))
 
         linkage, n_payload = toy_linkage, 1
         msm_trunc = 8
@@ -106,15 +109,18 @@ def main():
         vpk = keygen(vctx, k_child, srs_child)
         spk = keygen(sctx, k_child, srs_child)
 
-        def child_snarks(r):
+        def child_ctxs(r):
+            """Host-only synthesis (runs on the Lookahead worker)."""
             vc = Context(lookup_bits=k_child - 1)
             vp = []
             voter_circuit(vc, voter_inputs[r], vp)
             sc = Context(lookup_bits=k_child - 1)
             sp = []
             state_transition_circuit(sc, state_inputs[r], sp)
-            vi = [c.value for c in vp]
-            si = [c.value for c in sp]
+            return vc, [c.value for c in vp], sc, [c.value for c in sp]
+
+        def child_snarks(synth):
+            vc, vi, sc, si = synth
             return (Snark(vpk.vk, vi, prove(rebind_witness(vpk, vc), vi)),
                     Snark(spk.vk, si, prove(rebind_witness(spk, sc), si)))
 
@@ -140,10 +146,15 @@ def main():
           flush=True)
 
     # --- the IVC loop ---------------------------------------------------------
+    # Pipeline parallelism (SURVEY 2.3 P4): round r+1's child witnesses
+    # are synthesized on a worker thread while round r's proofs occupy
+    # the chip (the reference is strictly sequential, wrapper.rs:884-901).
+    from zksnap_tpu.parallel.pipeline import Lookahead
+
     prev = initial_snark(cfg, comms)
-    for r in range(rounds):
+    for r, synth in enumerate(Lookahead(child_ctxs, rounds)):
         t0 = time.time()
-        voter, state = child_snarks(r)
+        voter, state = child_snarks(synth)
         print(f"round {r}: child proofs {time.time()-t0:.1f}s", flush=True)
         win = WrapperRoundInput(round=r, voter=voter, state=state,
                                 prev=prev, self_commitments=comms)

@@ -168,7 +168,8 @@ def test_two_round_ivc_checker(children, wrapper_cfg):
     native1, _ = wrapper_native(cfg, win1)
     assert inst1[12:] == native1[12:]
     assert inst1[-1] == 1 and inst1[13] == 99
-    assert inst1[12] == inst0[12] == protocol_digest(comms)
+    assert inst1[12] == inst0[12] == protocol_digest(
+        comms, cfg.k, cfg.num_instance)
 
     # negative: a broken chain (carried value mismatch) must not check
     bad_prev = Snark(vk=prev1.vk,

@@ -297,12 +297,15 @@ def default_accumulator(srs) -> KzgAccumulator:
     return KzgAccumulator(lhs=pts[0], rhs=pts[1])
 
 
-def protocol_digest(commitments: dict) -> int:
-    """Poseidon digest of the wrapper's own fixed commitments
-    (preprocessed_digest, wrapper.rs:482-492): limb encoding of every
-    commitment in sorted-name order (the witness order of
-    succinct_verify_gadget's protocol_witness mode)."""
+def protocol_digest(commitments: dict, k: int, num_instance: int) -> int:
+    """Poseidon digest of the wrapper's own fixed protocol
+    (preprocessed_digest, wrapper.rs:482-492): domain size k and the
+    instance count (absorbed as scalars, as the reference absorbs
+    vk.k/num_instance) then the limb encoding of every commitment in
+    sorted-name order (the witness order of succinct_verify_gadget's
+    protocol_witness mode)."""
     sponge = PoseidonNative()
+    sponge.update([k, num_instance])
     for name in sorted(commitments.keys()):
         pt = commitments[name]
         x, y = (0, 0) if pt.is_identity() else (pt.x, pt.y)
@@ -319,7 +322,7 @@ def initial_snark(cfg: WrapperConfig, self_commitments: dict,
 
     vk = cfg.self_vk(self_commitments)
     inst = accumulator_limbs(cfg.default_acc)
-    inst += [protocol_digest(self_commitments)]
+    inst += [protocol_digest(self_commitments, cfg.k, cfg.num_instance)]
     inst += [0] * cfg.n_payload + [0]
     return Snark(vk=vk, instances=inst, proof=gen_dummy_proof(vk, seed))
 
@@ -385,8 +388,12 @@ def build_wrapper(ctx: Context, cfg: WrapperConfig,
     res_p = succinct_verify_gadget(ctx, chips, self_vk, p_cells,
                                    win.prev.proof, protocol_witness=True)
 
-    # preprocessed digest over the witnessed protocol (wrapper.rs:482-492)
+    # preprocessed digest over the witnessed protocol (wrapper.rs:482-492):
+    # k and num_instance enter as circuit CONSTANTS, so the digest pins
+    # the domain size and instance shape, not just the commitments
     sponge = TranscriptGadget(ctx, chips.pg)
+    sponge.update([ctx.load_constant(cfg.k),
+                   ctx.load_constant(cfg.num_instance)])
     for pt in res_p.protocol_cells:
         sponge.update(list(pt.x.limbs) + list(pt.y.limbs))
     digest = sponge.squeeze()
@@ -488,7 +495,7 @@ def wrapper_native(cfg: WrapperConfig, win: WrapperRoundInput):
         coef = coef * r % FR.p
     folded = KzgAccumulator(lhs, rhs)
 
-    digest = protocol_digest(win.self_commitments)
+    digest = protocol_digest(win.self_commitments, cfg.k, cfg.num_instance)
     vi, si = win.voter.instances, win.state.instances
     pp = win.prev.instances[ACC_ROWS + 1 : ACC_ROWS + 1 + cfg.n_payload]
     if cfg.linkage is zksnap_linkage:
@@ -584,7 +591,8 @@ def verify_wrapper_snark(cfg: WrapperConfig, self_commitments: dict,
     if res is None:
         return False
     g2_side, tau_side = res
-    if snark.instances[DIGEST_ROW] != protocol_digest(self_commitments):
+    if snark.instances[DIGEST_ROW] != protocol_digest(
+            self_commitments, cfg.k, cfg.num_instance):
         return False
     outer = KzgAccumulator(lhs=tau_side, rhs=g2_side)
     inner = KzgAccumulator(lhs=_limbs_to_point(snark.instances[0:6]),
