@@ -116,7 +116,9 @@ def test_msm_fused_path(rng, monkeypatch):
     ops = bn254_ops()
     P = ops.from_affine_host(pts)
     from zksnap_tpu.fields import ints_to_limbs
-    out = msm_impl(ops, P, ints_to_limbs(ks), c=8, n_windows=2, lanes=8)
+    # exactly-filled windows (16-bit scalars): no slack for signed digits
+    out = msm_impl(ops, P, ints_to_limbs(ks), c=8, n_windows=2, lanes=8,
+                   signed=False)
     want = AffinePoint.identity(BN254_G1)
     for k, p in zip(ks, pts):
         want = want + k * p

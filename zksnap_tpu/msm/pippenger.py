@@ -51,6 +51,28 @@ def window_digits(scalars, c: int, w: int):
     return val.astype(jnp.int32)
 
 
+def signed_digits(scalars, c: int, n_windows: int):
+    """[W, n] BALANCED signed digits in [-2^(c-1), 2^(c-1)]: each unsigned
+    window digit > 2^(c-1) becomes d - 2^c with a carry into the next
+    window.  Halves the live bucket range (bucket |d|, negate the point
+    when d < 0) -- the classic signed-digit Pippenger trick, shaped here
+    as a lax.scan so the whole transform stays on device.
+
+    The top carry is statically zero when n_windows*c > scalar bits
+    (the last digit is then at most 2^(c-1)); msm_impl checks this."""
+    digs = jnp.stack(
+        [window_digits(scalars, c, w) for w in range(n_windows)])
+    half, full = 1 << (c - 1), 1 << c
+
+    def step(carry, d):
+        d = d + carry
+        over = d > half
+        return over.astype(jnp.int32), jnp.where(over, d - full, d)
+
+    _, out = jax.lax.scan(step, jnp.zeros_like(digs[0]), digs)
+    return out
+
+
 def _take(p: JacPoint, axis: int, lo: int, hi: int) -> JacPoint:
     sl = [slice(None)] * p.x.ndim
     sl[axis] = slice(lo, hi)
@@ -220,12 +242,15 @@ def _suffix_scan(ops: CurveOps, pts: JacPoint) -> JacPoint:
     return JacPoint(sx, sy, sz)
 
 
-def _weighted_small(ops: CurveOps, buckets: JacPoint) -> JacPoint:
-    """sum_b b * S_b over the second-to-last axis via two suffix scans:
-    suffix1[b] = sum_{b'>=b} S_b'; sum_{b>=1} suffix1[b] = suffix2[1]."""
+def _weighted_small(ops: CurveOps, buckets: JacPoint,
+                    offset: int = 1) -> JacPoint:
+    """sum_b (b + 1 - offset) * S_b over the second-to-last axis via two
+    suffix scans: suffix2[o] = sum_b (b + 1 - o) * S_b (offset=1 gives
+    the classic sum b*S_b; offset=0 the signed-digit sum (b+1)*S_b)."""
     s1 = _suffix_scan(ops, buckets)
     s2 = _suffix_scan(ops, s1)
-    return JacPoint(s2.x[..., 1, :], s2.y[..., 1, :], s2.z[..., 1, :])
+    return JacPoint(s2.x[..., offset, :], s2.y[..., offset, :],
+                    s2.z[..., offset, :])
 
 
 def _tree_reduce(ops: CurveOps, pts: JacPoint, axis: int) -> JacPoint:
@@ -241,20 +266,24 @@ def _tree_reduce(ops: CurveOps, pts: JacPoint, axis: int) -> JacPoint:
     return JacPoint(pts.x[sl], pts.y[sl], pts.z[sl])
 
 
-def _weighted_bucket_reduce(ops: CurveOps, buckets: JacPoint, c: int):
-    """sum_b b * S_b for each window (batched over the leading window axis).
+def _weighted_bucket_reduce(ops: CurveOps, buckets: JacPoint, log_b: int,
+                            plus_one: bool = False):
+    """sum_b w(b) * S_b for each window (batched over the leading window
+    axis), with weight w(b) = b (unsigned digits) or b + 1 (signed
+    digits, where bucket j holds the points with |digit| = j + 1).
 
     For small windows uses the double-suffix scan directly; otherwise
     splits b = hi * Blo + lo so the heavy O(B) work is two tree
     reductions and only O(sqrt(B)) rows hit the log-cost suffix scans:
-      sum_b b*S_b = Blo * sum_hi hi*R1[hi] + sum_lo lo*R2[lo]
+      sum_b (b+o)*S_b = Blo * sum_hi hi*R1[hi] + sum_lo (lo+o)*R2[lo]
       R1[hi] = sum_lo S[hi,lo],  R2[lo] = sum_hi S[hi,lo].
     """
-    if c <= 6:
-        return _weighted_small(ops, buckets)
+    off = 0 if plus_one else 1
+    if log_b <= 6:
+        return _weighted_small(ops, buckets, offset=off)
     W = buckets.x.shape[0]
-    clo = c // 2
-    blo, bhi = 1 << clo, 1 << (c - clo)
+    clo = log_b // 2
+    blo, bhi = 1 << clo, 1 << (log_b - clo)
     t = JacPoint(
         buckets.x.reshape(W, bhi, blo, N_LIMBS),
         buckets.y.reshape(W, bhi, blo, N_LIMBS),
@@ -262,21 +291,28 @@ def _weighted_bucket_reduce(ops: CurveOps, buckets: JacPoint, c: int):
     )
     r1 = _tree_reduce(ops, t, 2)      # [W, bhi, 16]
     r2 = _tree_reduce(ops, t, 1)      # [W, blo, 16]
-    w1 = _weighted_small(ops, r1)     # [W, 16]
-    w2 = _weighted_small(ops, r2)     # [W, 16]
+    w1 = _weighted_small(ops, r1)     # [W, 16]: sum_hi hi * R1
+    w2 = _weighted_small(ops, r2, offset=off)
     for _ in range(clo):              # Blo * w1
         w1 = ops.double(w1)
     return ops.add(w1, w2)
 
 
 def msm_impl(ops: CurveOps, pts: JacPoint, scalars, c: int, n_windows: int,
-             lanes: int | None = None, window_group: int | None = None):
+             lanes: int | None = None, window_group: int | None = None,
+             signed: bool = True):
     """Full Pippenger: -> JacPoint (scalar batch shape ()).
 
     `pts` MUST be affine-or-identity (z in {0, 1}): the accumulation
     scan streams them through the mixed-add kernel.  All call sites
     load points via `from_affine_host` / the SRS cache, which satisfy
     this.
+
+    `signed` uses balanced digits in [-2^(c-1), 2^(c-1)] (bucket |d|,
+    negate y when d < 0): HALF the buckets per window, so the weighted
+    reduction costs 2*W*2^(c-1) adds instead of 2*W*2^c.  Requires
+    n_windows*c > scalar bits (top carry statically zero); callers with
+    exactly-filled windows must pass signed=False.
 
     Windows are processed in groups of `window_group` (default: all W at
     once) through a flattened pipeline: composite bucket ids
@@ -289,35 +325,68 @@ def msm_impl(ops: CurveOps, pts: JacPoint, scalars, c: int, n_windows: int,
     G=2 keeps the same total work in ~1.6GB windows (`_group_windows`).
     """
     n = scalars.shape[0]
-    W, B = n_windows, 1 << c
+    W = n_windows
+    B = (1 << (c - 1)) if signed else (1 << c)  # live buckets per window
     wg = min(window_group or W, W)
+
+    if signed:
+        assert W * c > ops.F.bits, "signed digits need top-window slack"
+        digits = signed_digits(scalars, c, W)         # [W, n]
+        neg_y = ops.F.neg(pts.y)                      # [n, 16]
+    else:
+        digits = jnp.stack(
+            [window_digits(scalars, c, w) for w in range(W)])
+
+    def group_ids(dig):
+        """dig [g, n] -> composite ids [g*n] (+ negation mask [g*n])."""
+        g = dig.shape[0]
+        base = jnp.arange(g, dtype=jnp.int32)[:, None] * B
+        if signed:
+            ids = jnp.where(dig == 0, g * B, base + jnp.abs(dig) - 1)
+            return ids.reshape(-1), (dig < 0).reshape(-1)
+        return (base + dig).reshape(-1), None
+
+    def tiled_stream(g, neg):
+        py = jnp.tile(pts.y, (g, 1))
+        if neg is not None:
+            py = jnp.where(neg[:, None], jnp.tile(neg_y, (g, 1)), py)
+        return JacPoint(jnp.tile(pts.x, (g, 1)), py, jnp.tile(pts.z, (g, 1)))
+
     if wg == W:
-        digits = jnp.stack([window_digits(scalars, c, w) for w in range(W)])
-        flat_ids = (jnp.arange(W, dtype=jnp.int32)[:, None] * B
-                    + digits).reshape(-1)
-        tiled = JacPoint(
-            jnp.tile(pts.x, (W, 1)), jnp.tile(pts.y, (W, 1)),
-            jnp.tile(pts.z, (W, 1))
-        )
-        flat_buckets = _segmented_bucket_sums(ops, tiled, flat_ids, W * B,
-                                              lanes=lanes)
+        flat_ids, neg = group_ids(digits)
+        flat_buckets = _segmented_bucket_sums(
+            ops, tiled_stream(W, neg), flat_ids, W * B, lanes=lanes)
     elif W % wg == 0:
         # lax.scan over window groups: ONE compiled pipeline instance, and
         # peak HBM bounded by one group's tiled streams
         G = W // wg
-        digits = jnp.stack([window_digits(scalars, c, w) for w in range(W)])
-        ids_g = (jnp.arange(wg, dtype=jnp.int32)[None, :, None] * B
-                 + digits.reshape(G, wg, n)).reshape(G, wg * n)
-        tiled = JacPoint(
-            jnp.tile(pts.x, (wg, 1)), jnp.tile(pts.y, (wg, 1)),
-            jnp.tile(pts.z, (wg, 1))
-        )
+        dig_g = digits.reshape(G, wg, n)
+        base = jnp.arange(wg, dtype=jnp.int32)[None, :, None] * B
+        tx = jnp.tile(pts.x, (wg, 1))
+        tz = jnp.tile(pts.z, (wg, 1))
+        ty = jnp.tile(pts.y, (wg, 1))
+        if signed:
+            ids_g = jnp.where(dig_g == 0, wg * B,
+                              base + jnp.abs(dig_g) - 1).reshape(G, wg * n)
+            neg_g = (dig_g < 0).reshape(G, wg * n)
+            tny = jnp.tile(neg_y, (wg, 1))
 
-        def body(_, ids):
-            fb = _segmented_bucket_sums(ops, tiled, ids, wg * B, lanes=lanes)
-            return None, (fb.x, fb.y, fb.z)
+            def body(_, x):
+                ids, neg = x
+                p = JacPoint(tx, jnp.where(neg[:, None], tny, ty), tz)
+                fb = _segmented_bucket_sums(ops, p, ids, wg * B, lanes=lanes)
+                return None, (fb.x, fb.y, fb.z)
 
-        _, (bx, by, bz) = jax.lax.scan(body, None, ids_g)
+            _, (bx, by, bz) = jax.lax.scan(body, None, (ids_g, neg_g))
+        else:
+            ids_g = (base + dig_g).reshape(G, wg * n)
+
+            def body(_, ids):
+                fb = _segmented_bucket_sums(ops, JacPoint(tx, ty, tz), ids,
+                                            wg * B, lanes=lanes)
+                return None, (fb.x, fb.y, fb.z)
+
+            _, (bx, by, bz) = jax.lax.scan(body, None, ids_g)
         flat_buckets = JacPoint(bx.reshape(W * B, N_LIMBS),
                                 by.reshape(W * B, N_LIMBS),
                                 bz.reshape(W * B, N_LIMBS))
@@ -325,16 +394,9 @@ def msm_impl(ops: CurveOps, pts: JacPoint, scalars, c: int, n_windows: int,
         parts = []
         for g0 in range(0, W, wg):
             gw = min(wg, W - g0)
-            digits = jnp.stack(
-                [window_digits(scalars, c, w) for w in range(g0, g0 + gw)])
-            flat_ids = (jnp.arange(gw, dtype=jnp.int32)[:, None] * B
-                        + digits).reshape(-1)
-            tiled = JacPoint(
-                jnp.tile(pts.x, (gw, 1)), jnp.tile(pts.y, (gw, 1)),
-                jnp.tile(pts.z, (gw, 1))
-            )
-            parts.append(_segmented_bucket_sums(ops, tiled, flat_ids,
-                                                gw * B, lanes=lanes))
+            flat_ids, neg = group_ids(digits[g0 : g0 + gw])
+            parts.append(_segmented_bucket_sums(
+                ops, tiled_stream(gw, neg), flat_ids, gw * B, lanes=lanes))
         flat_buckets = JacPoint(
             jnp.concatenate([p.x for p in parts]),
             jnp.concatenate([p.y for p in parts]),
@@ -344,7 +406,8 @@ def msm_impl(ops: CurveOps, pts: JacPoint, scalars, c: int, n_windows: int,
         flat_buckets.y.reshape(W, B, -1),
         flat_buckets.z.reshape(W, B, -1),
     )
-    wsums = _weighted_bucket_reduce(ops, buckets, c)  # [W, 16] points
+    wsums = _weighted_bucket_reduce(
+        ops, buckets, c - 1 if signed else c, plus_one=signed)  # [W, 16]
 
     # window combine: T = sum_w 2^{c*w} S_w.  A Horner chain is c*(W-1)
     # doublings of a SINGLE point -- pure launch latency on TPU.  Instead:
@@ -379,36 +442,43 @@ def _group_windows(n: int, n_windows: int) -> int:
 class MSM:
     """Jit-compiled Pippenger MSM for one curve."""
 
-    def __init__(self, ops: CurveOps, c: int | None = None):
+    def __init__(self, ops: CurveOps, c: int | None = None,
+                 signed: bool = True):
         self.ops = ops
         self.lanes = None  # bucket-accumulation lane count override
+        self.signed = signed
 
-    def _pick_c(self, n: int) -> int:
+    def _pick_c(self, n: int, signed: bool) -> int:
         # minimize modeled group-add count: W*n accumulation + ~2*W*B
-        # reduction (+ lane-scan overhead, independent of c)
+        # reduction (+ lane-scan overhead, independent of c); signed
+        # digits halve B, shifting the optimum one window-bit wider
         best, best_cost = 8, None
         for c in range(6, 17):
             w = -(-self.ops.F.bits // c)
-            cost = w * n + 2 * w * (1 << c)
+            b = 1 << (c - 1 if signed else c)
+            cost = w * n + 2 * w * b
             if best_cost is None or cost < best_cost:
                 best, best_cost = c, cost
         return best
 
     @functools.lru_cache(maxsize=32)
-    def _compiled(self, n: int, c: int, n_windows: int, lanes: int | None):
+    def _compiled(self, n: int, c: int, n_windows: int, lanes: int | None,
+                  signed: bool):
         return jax.jit(
             lambda px, py, pz, s: msm_impl(
                 self.ops, JacPoint(px, py, pz), s, c, n_windows, lanes=lanes,
-                window_group=_group_windows(n, n_windows),
+                window_group=_group_windows(n, n_windows), signed=signed,
             )
         )
 
     def __call__(self, pts: JacPoint, scalars, c: int | None = None) -> JacPoint:
         """pts: JacPoint [n]; scalars: [n, 16] canonical limbs."""
         n = scalars.shape[0]
-        c = c or self._pick_c(n)
+        c = c or self._pick_c(n, self.signed)
         n_windows = -(-self.ops.F.bits // c)
-        fn = self._compiled(n, c, n_windows, self.lanes)
+        # signed digits need top-window slack (see msm_impl)
+        signed = self.signed and n_windows * c > self.ops.F.bits
+        fn = self._compiled(n, c, n_windows, self.lanes, signed)
         return fn(pts.x, pts.y, pts.z, scalars)
 
 
