@@ -62,13 +62,13 @@ def bench_msm(results, sizes, iters=3, profile_dir=None):
             out = msm(pts, scalars)
         sync(out.z)
         dt = (time.time() - t0) / iters
-        if profile_dir:
+        if profile_dir and n_log == sizes[-1]:
             # criterion+pprof analogue (voter_circuit.rs:87-92): one
-            # device trace of the steady-state MSM, viewable in
-            # tensorboard / xprof (VERDICT r2 missing #8)
+            # device trace of the steady-state MSM at the LAST (largest)
+            # swept size, viewable in tensorboard / xprof
             with jax.profiler.trace(profile_dir):
                 sync(msm(pts, scalars).z)
-            profile_dir = None  # trace the first (largest-interest) size
+            profile_dir = None
         results[f"msm_2e{n_log}_ms"] = round(dt * 1000, 1)
         results[f"msm_2e{n_log}_mpts_s"] = round(n / dt / 1e6, 3)
         print(f"msm 2^{n_log}: {dt*1000:.1f} ms  "

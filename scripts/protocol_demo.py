@@ -28,6 +28,7 @@ def main():
         state_transition_circuit,
     )
     from zksnap_tpu.circuits.voter import (
+        VoterFlags,
         expected_instances as voter_expected,
         voter_circuit,
     )
@@ -57,7 +58,9 @@ def main():
         t0 = time.time()
         vctx = Context(lookup_bits=min(14, k - 1))
         vpub = []
-        voter_circuit(vctx, voter_inputs[rnd], vpub)
+        # demo runs at small k: opt out of the k>=21 PLUME shape
+        voter_circuit(vctx, voter_inputs[rnd], vpub,
+                      VoterFlags(check_plume=False))
         check(vctx, voter_expected(voter_inputs[rnd]))
         sctx = Context(lookup_bits=min(14, k - 1))
         spub = []

@@ -25,9 +25,11 @@ import jax
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("k", nargs="?", type=int, default=13)
-    ap.add_argument("--plume", action="store_true",
-                    help="enable in-circuit PLUME verification (the "
-                         "reference's live heavyweight constraint)")
+    ap.add_argument("--plume", action="store_true", default=True,
+                    help="in-circuit PLUME verification (the reference's "
+                         "live heavyweight constraint) -- DEFAULT ON")
+    ap.add_argument("--no-plume", dest="plume", action="store_false",
+                    help="opt out of PLUME (small-k shapes)")
     ap.add_argument("--enc", action="store_true",
                     help="enable the Paillier re-encryption check")
     ap.add_argument("--no-check", action="store_true",

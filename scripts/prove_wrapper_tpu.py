@@ -91,6 +91,7 @@ def main():
             state_transition_circuit,
         )
         from zksnap_tpu.circuits.voter import (
+            VoterFlags,
             expected_instances as voter_expected,
             voter_circuit,
         )
@@ -102,7 +103,10 @@ def main():
             rounds, rng)
         vctx = Context(lookup_bits=k_child - 1)
         vpub = []
-        voter_circuit(vctx, voter_inputs[0], vpub)
+        # children prove at k_child=13: PLUME (~15.5M cells) only fits
+        # the k>=21 shape -- explicit opt-out (VoterFlags default is on)
+        child_flags = VoterFlags(check_plume=False)
+        voter_circuit(vctx, voter_inputs[0], vpub, child_flags)
         sctx = Context(lookup_bits=k_child - 1)
         spub = []
         state_transition_circuit(sctx, state_inputs[0], spub)
@@ -113,7 +117,7 @@ def main():
             """Host-only synthesis (runs on the Lookahead worker)."""
             vc = Context(lookup_bits=k_child - 1)
             vp = []
-            voter_circuit(vc, voter_inputs[r], vp)
+            voter_circuit(vc, voter_inputs[r], vp, child_flags)
             sc = Context(lookup_bits=k_child - 1)
             sp = []
             state_transition_circuit(sc, state_inputs[r], sp)

@@ -68,11 +68,16 @@ def test_bigint_mod_mul(rng):
     check(ctx)
 
 
+# CI shape: PLUME off (the production default is ON; the full PLUME
+# gadget is covered by tests/test_plume_gadget.py and the k=21 TPU run)
+_CI_FLAGS = VoterFlags(check_plume=False)
+
+
 def test_voter_circuit(rng):
     inp = generate_random_voter_circuit_inputs(rng)
     ctx = Context()
     pub: list[Cell] = []
-    voter_circuit(ctx, inp, pub)
+    voter_circuit(ctx, inp, pub, _CI_FLAGS)
     assert len(pub) == 30
     stats = check(ctx, voter_expected(inp))
     assert stats["gates"] > 0
@@ -84,7 +89,7 @@ def test_voter_circuit_rejects_bad_root(rng):
     ctx = Context()
     pub: list[Cell] = []
     with pytest.raises(AssertionError):
-        voter_circuit(ctx, inp, pub)
+        voter_circuit(ctx, inp, pub, _CI_FLAGS)
         check(ctx)
 
 

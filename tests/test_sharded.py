@@ -1,6 +1,7 @@
 """Mesh-sharded MSM on the virtual 8-device CPU mesh vs the host oracle."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -102,6 +103,7 @@ def test_four_step_inverse_matches_single(rng):
     assert [v * n_inv % F.p for v in got] == want
 
 
+@pytest.mark.slow  # mesh-SPMD prover compile is ~10 min cold on CPU
 def test_mesh_sharded_prove_verifies(rng):
     """prove(mesh=...) runs commits through sharded_msm and NTTs through
     the four-step transform (VERDICT r2 next-step 5); the proof must

@@ -13,9 +13,10 @@ Here they are implemented and gated by flags (default True -- they are
 clearly intended; parity tests against the reference-as-is can disable
 them, SURVEY.md "hard parts").
 
-PLUME verification requires the in-circuit secp256k1 + SHA-256 gadget
-stack (gadgets/ecc.py, gadgets/sha256.py); gate with `check_plume` until
-that stack lands (tracked for this round / round 2).
+PLUME verification runs on the in-circuit secp256k1 + SHA-256 gadget
+stack (gadgets/plume_gadget.py) and is ON by default (proven at k=21 on
+TPU, runs/voter_plume_k21_r3b.log); `check_plume=False` opts out for
+small-k shapes (tests, wrapper children).
 """
 
 from __future__ import annotations
@@ -38,7 +39,12 @@ class VoterFlags:
     check_membership: bool = True
     check_vote_wellformed: bool = True
     check_encryption: bool = False  # heavy (pow_mod); reference keeps it off
-    check_plume: bool = False       # needs ECC+SHA256 gadgets
+    # PLUME is the reference's only heavyweight LIVE constraint
+    # (voter/src/lib.rs:276-283) and is proven here end-to-end at k=21
+    # (runs/voter_plume_k21_r3b.log) -- ON by default; tests and the
+    # small-k wrapper children opt out explicitly (the PLUME gadget needs
+    # ~15.5M advice cells, far beyond k<=15 shapes).
+    check_plume: bool = True
 
 
 def voter_circuit(ctx: Context, inp: VoterCircuitInput,

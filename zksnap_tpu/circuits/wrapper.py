@@ -300,10 +300,12 @@ def default_accumulator(srs) -> KzgAccumulator:
 def protocol_digest(commitments: dict, k: int, num_instance: int) -> int:
     """Poseidon digest of the wrapper's own fixed protocol
     (preprocessed_digest, wrapper.rs:482-492): domain size k and the
-    instance count (absorbed as scalars, as the reference absorbs
-    vk.k/num_instance) then the limb encoding of every commitment in
-    sorted-name order (the witness order of succinct_verify_gadget's
-    protocol_witness mode)."""
+    instance count absorbed first -- standing in for the vk binding the
+    reference gets by absorbing transcript_initial_state alongside the
+    preprocessed commitments -- then the limb encoding of every
+    commitment in sorted-name order (the witness order of
+    succinct_verify_gadget's protocol_witness mode).  Pinned by
+    PROTOCOL.md section "vk digest"."""
     sponge = PoseidonNative()
     sponge.update([k, num_instance])
     for name in sorted(commitments.keys()):

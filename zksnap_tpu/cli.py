@@ -33,10 +33,13 @@ def _build_circuit(name: str, k: int, seed: int):
     ctx = Context(lookup_bits=min(14, k - 1))
     pub = []
     if name == "voter":
-        from .circuits.voter import expected_instances, voter_circuit
+        from .circuits.voter import (VoterFlags, expected_instances,
+                                     voter_circuit)
 
         inp = generate_random_voter_circuit_inputs(rng)
-        voter_circuit(ctx, inp, pub)
+        # PLUME needs the k>=21 production shape; opt out below it
+        voter_circuit(ctx, inp, pub,
+                      VoterFlags(check_plume=k >= 21))
         check(ctx, expected_instances(inp))
     elif name == "state_transition":
         from .circuits.state_transition import (

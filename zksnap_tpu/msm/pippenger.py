@@ -52,7 +52,7 @@ def window_digits(scalars, c: int, w: int):
 
 
 def signed_digits(scalars, c: int, n_windows: int):
-    """[W, n] BALANCED signed digits in [-2^(c-1), 2^(c-1)]: each unsigned
+    """[W, n] BALANCED signed digits in [-(2^(c-1)-1), 2^(c-1)]: each unsigned
     window digit > 2^(c-1) becomes d - 2^c with a carry into the next
     window.  Halves the live bucket range (bucket |d|, negate the point
     when d < 0) -- the classic signed-digit Pippenger trick, shaped here

@@ -33,8 +33,13 @@ def sharded_msm(ops: CurveOps, pts: JacPoint, scalars, mesh, axis: str = "x",
     assert n % ndev == 0
     n_windows = -(-ops.F.bits // c)
 
+    # signed digits need top-window slack (MSM.__call__ parity: a curve
+    # whose bit-length divides c would hit the msm_impl assert otherwise)
+    signed = n_windows * c > ops.F.bits
+
     def local(px, py, pz, s):
-        part = msm_impl(ops, JacPoint(px, py, pz), s, c, n_windows)
+        part = msm_impl(ops, JacPoint(px, py, pz), s, c, n_windows,
+                        signed=signed)
         # gather all partials and tree-add locally
         gx = jax.lax.all_gather(part.x, axis)  # [ndev, 16]
         gy = jax.lax.all_gather(part.y, axis)

@@ -142,7 +142,8 @@ def _commit_jit(n: int, c: int, n_windows: int):
         from ..msm.pippenger import _group_windows
 
         r = msm_impl(ops, JacPoint(px[:n], py[:n], pz[:n]), scalars, c,
-                     n_windows, window_group=_group_windows(n, n_windows))
+                     n_windows, window_group=_group_windows(n, n_windows),
+                     signed=n_windows * c > ops.F.bits)
         # projective (X:Y:Z) -> Jacobian (X*Z, Y*Z^2, Z); identity Z=0 ok
         return JacPoint(Fq.mul(r.x, r.z), Fq.mul(r.y, Fq.square(r.z)), r.z)
 
@@ -168,7 +169,8 @@ def _commit_sharded_jit(n: int, c: int, n_windows: int, mesh, axis: str):
         from ..msm.pippenger import _group_windows
 
         part = msm_impl(ops, JacPoint(px, py, pz), s, c, n_windows,
-                        window_group=_group_windows(n // ndev, n_windows))
+                        window_group=_group_windows(n // ndev, n_windows),
+                        signed=n_windows * c > ops.F.bits)
         gx = jax.lax.all_gather(part.x, axis)  # [ndev, 16]
         gy = jax.lax.all_gather(part.y, axis)
         gz = jax.lax.all_gather(part.z, axis)
