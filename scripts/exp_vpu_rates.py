@@ -146,6 +146,7 @@ def main():
 
     for kind in ("u32mul", "u16mul", "u32add", "u32mask", "f32fma"):
         try:
+            print(f"{kind}: compiling...", flush=True)
             fn = make_chain(kind, chain, W)
             dt = bench(fn, (a, b))
             rate = lanes * chain / dt / 1e9

@@ -66,15 +66,42 @@ def _cond_sub_p(out_rows, ge_extra, p_rows):
 
 
 class _FieldK:
-    """Field ops for use inside a Pallas kernel body."""
+    """Field ops for use inside a Pallas kernel body.
 
-    def __init__(self, p_col, p_limbs: np.ndarray, n0: int):
+    `lazy=True` switches to LAZY Montgomery arithmetic: all values live in
+    [0, 2p) instead of [0, p).  Products skip the final conditional
+    subtract entirely (for p < 2^254, inputs < 2p give T = a*b < 4p^2 <
+    R*p, so REDC(T) < 2p with a provably-zero top carry -- the classic
+    "Montgomery without final subtraction" bound); adds reduce against 2p
+    and subs add back 2p, both the same cost as their canonical forms.
+    Net: one ~100-op conditional subtract saved per multiply, ~25% of the
+    point-add kernel body.  Downstream consumers stay correct because
+    every value is still the right residue mod p; only raw-limb equality
+    and is_zero tests must see canonical values (the point kernels only
+    apply is_zero to canonical STREAM inputs, and the host boundary
+    `from_mont` reduces mod p).
+    """
+
+    def __init__(self, p_col, p_limbs: np.ndarray, n0: int,
+                 lazy: bool = False):
         self.p_col = p_col                    # [16, 1] traced (kernel input)
         self.p_rows = [np.uint32(v) for v in p_limbs]
         self.n0 = np.uint32(n0)
+        if lazy:
+            # the no-final-subtraction bound needs 4p < 2^256; for wider
+            # moduli (secp256k1's 2^256-ish p) fall back to canonical form
+            p_int = sum(int(v) << (LIMB_BITS * i)
+                        for i, v in enumerate(p_limbs))
+            lazy = p_int < 1 << 254
+            if lazy:
+                p2 = 2 * p_int
+                self.p2_rows = [
+                    np.uint32((p2 >> (LIMB_BITS * i)) & LIMB_MASK)
+                    for i in range(N_LIMBS)]
+        self.lazy = lazy
 
     def mul(self, a, b):
-        """Montgomery product, canonical result.  ~100 stacked-tile ops."""
+        """Montgomery product; canonical (< p), or < 2p in lazy mode."""
         cols = jnp.zeros((_NROWS, a.shape[1]), jnp.uint32)
         for i in range(N_LIMBS):
             prod = a[i][None, :] * b
@@ -93,6 +120,9 @@ class _FieldK:
             tot = cols[N_LIMBS + i] + carry
             out.append(tot & _MASK)
             carry = tot >> LIMB_BITS
+        if self.lazy:
+            # result < 2p < 2^256: the top carry is provably zero
+            return jnp.stack(out)
         return _cond_sub_p(out, (carry + cols[2 * N_LIMBS]) > 0, self.p_rows)
 
     def sqr(self, a):
@@ -105,6 +135,9 @@ class _FieldK:
             tot = a[i] + b[i] + carry
             s.append(tot & _MASK)
             carry = tot >> LIMB_BITS
+        if self.lazy:
+            # sum < 4p; reducing against 2p keeps the invariant < 2p
+            return _cond_sub_p(s, carry > 0, self.p2_rows)
         return _cond_sub_p(s, carry > 0, self.p_rows)
 
     def dbl(self, a):
@@ -119,10 +152,11 @@ class _FieldK:
             d.append((t + (nb << LIMB_BITS)) & _MASK)
             borrow = nb
         under = borrow > 0
+        mod_rows = self.p2_rows if self.lazy else self.p_rows
         carry = jnp.zeros_like(a[0])
         res = []
         for i in range(N_LIMBS):
-            tot = d[i] + self.p_rows[i] + carry
+            tot = d[i] + mod_rows[i] + carry
             res.append(jnp.where(under, tot & _MASK, d[i]))
             carry = tot >> LIMB_BITS
         return jnp.stack(res)
@@ -324,7 +358,7 @@ def _direct_call(kind: str, p_int: int, n0: int, b3: int = 0):
 
     def run(*arrays):
         p_col = jnp.asarray(p_limbs.reshape(N_LIMBS, 1))
-        F = _FieldK(p_col, p_limbs, n0)
+        F = _FieldK(p_col, p_limbs, n0, lazy=bool(b3))
         return _run_body(kind, F, arrays, b3)
 
     return jax.jit(run)
@@ -342,7 +376,7 @@ def _point_call(kind: str, p_int: int, n0: int, block: int, n: int,
 
     def kernel(p_ref, *refs):
         ins, outs = refs[:n_in], refs[n_in:]
-        F = _FieldK(p_ref[:, :1], p_limbs, n0)
+        F = _FieldK(p_ref[:, :1], p_limbs, n0, lazy=bool(b3))
         vals = [r[:] for r in ins]
         res = _run_body(kind, F, vals, b3)
         for o, v in zip(outs, res):
@@ -465,7 +499,7 @@ def _bucket_scan_call(p_int: int, n0: int, M: int, K: int, interpret: bool,
                     ax[i, :] = row
                 ay[i, :] = row
 
-        F = _FieldK(p_ref[:, :1], p_limbs, n0)
+        F = _FieldK(p_ref[:, :1], p_limbs, n0, lazy=bool(b3))
         px, py, pz = x_ref[:], y_ref[:], z_ref[:]
         sx, sy, sz = _run_body("pmadd" if b3 else "madd", F,
                                (ax[:], ay[:], az[:], px, py, pz), b3)
@@ -513,7 +547,7 @@ def _bucket_scan_direct(p_int: int, n0: int, M: int, K: int, b3: int = 0):
 
     def run(fl, x, y, z):
         p_col = jnp.asarray(p_limbs.reshape(N_LIMBS, 1))
-        F = _FieldK(p_col, p_limbs, n0)
+        F = _FieldK(p_col, p_limbs, n0, lazy=bool(b3))
 
         def to_k(a):  # [16, K*M] -> [K, 16, M]
             return jnp.moveaxis(a.reshape(N_LIMBS, K, M), 1, 0)

@@ -141,7 +141,10 @@ class ProjOps(CurveOps):
         n = 1
         for d in bs:
             n *= int(d)
-        z = p.z.reshape(n, N_LIMBS)
+        # the fused kernels emit lazy-form values (< 2p): canonicalize z
+        # so true identities (z = p representing 0) are detected -- a
+        # missed zero would poison the Montgomery-trick batch inversion
+        z = F.canon(p.z.reshape(n, N_LIMBS))
         zinv = F.batch_inv(z)  # zeros -> zeros
         x = F.mul(p.x.reshape(n, N_LIMBS), zinv)
         y = F.mul(p.y.reshape(n, N_LIMBS), zinv)

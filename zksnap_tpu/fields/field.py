@@ -146,6 +146,16 @@ class PrimeField:
     def double(self, a):
         return self.add(a, a)
 
+    def canon(self, a):
+        """Reduce a lazy-form value in [0, 2p) to canonical [0, p).
+
+        The fused point kernels (curves/fused.py) keep intermediates in
+        lazy Montgomery form; call this before raw-limb equality or
+        is_zero tests on their outputs."""
+        ge = limbs_geq(a, self.p_limbs)
+        d, _ = raw_sub(a, self.p_limbs)
+        return jnp.where(ge[..., None], d, a)
+
     # -- Montgomery multiply ------------------------------------------------
 
     def mont_redc(self, cols):

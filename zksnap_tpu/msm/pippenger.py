@@ -254,8 +254,20 @@ def _weighted_small(ops: CurveOps, buckets: JacPoint,
 
 
 def _tree_reduce(ops: CurveOps, pts: JacPoint, axis: int) -> JacPoint:
-    """Plain group sum along `axis` (length a power of two) by halving."""
+    """Plain group sum along `axis` (length a power of two).
+
+    Small axes (<= 256) reduce with ONE masked fori_loop ladder (the
+    suffix-scan body) instead of log2(n) separately-traced halving adds:
+    the traced graph has a single add body, which cuts the XLA compile
+    of every Pippenger instantiation (cold-start budget) for ~2% extra
+    runtime adds.  Large axes keep the work-optimal halving."""
     n = pts.x.shape[axis]
+    if 1 < n <= 256:
+        ax = axis % pts.x.ndim
+        m = JacPoint(jnp.moveaxis(pts.x, ax, -2), jnp.moveaxis(pts.y, ax, -2),
+                     jnp.moveaxis(pts.z, ax, -2))
+        s = _suffix_scan(ops, m)
+        return JacPoint(s.x[..., 0, :], s.y[..., 0, :], s.z[..., 0, :])
     while n > 1:
         half = n // 2
         pts = ops.add(_take(pts, axis, 0, half), _take(pts, axis, half, n))

@@ -22,16 +22,21 @@ from ..msm.pippenger import msm_impl
 
 
 def sharded_msm(ops: CurveOps, pts: JacPoint, scalars, mesh, axis: str = "x",
-                c: int = 8):
+                c: int = 8, scalar_bits: int | None = None):
     """MSM over a 1-d mesh: local Pippenger + all_gather + local combine.
 
     pts leaves and scalars must be shardable on their leading axis by the
     mesh size.  Returns a replicated JacPoint scalar.
+
+    `scalar_bits`: a caller-known bound on the scalars' bit length; the
+    window count (and with it the traced graph size) shrinks
+    proportionally.  Defaults to the full field width.
     """
     n = scalars.shape[0]
     ndev = mesh.shape[axis]
     assert n % ndev == 0
-    n_windows = -(-ops.F.bits // c)
+    bits = scalar_bits or ops.F.bits
+    n_windows = -(-bits // c)
 
     # signed digits need top-window slack (MSM.__call__ parity: a curve
     # whose bit-length divides c would hit the msm_impl assert otherwise)

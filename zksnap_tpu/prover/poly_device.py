@@ -43,25 +43,38 @@ FR = bn254_fr()
 # kernels need no explicit treatment -- they inherit input shardings through
 # GSPMD propagation.  With no active context everything stays single-device.
 
-_ACTIVE_MESH: list = []  # stack of (mesh, axis)
+import threading as _threading
+
+_MESH_TLS = _threading.local()  # per-thread stack of (mesh, axis): the
+# warm-up pool (prover/warmup.py) traces programs concurrently, so a
+# shared stack would let one thread pop another's context
+
+
+def _mesh_stack() -> list:
+    st = getattr(_MESH_TLS, "stack", None)
+    if st is None:
+        st = _MESH_TLS.stack = []
+    return st
 
 
 @contextlib.contextmanager
 def prover_mesh(mesh, axis: str = "x"):
     """Run prover kernels mesh-sharded inside this context."""
-    _ACTIVE_MESH.append((mesh, axis))
+    st = _mesh_stack()
+    st.append((mesh, axis))
     try:
         yield
     finally:
-        _ACTIVE_MESH.pop()
+        st.pop()
 
 
 def _mesh_for(n: int):
     """(mesh, axis) if a mesh is active and a length-n axis splits evenly
     into >= ndev^2 elements (the four-step layout needs n2 % n1 == 0)."""
-    if not _ACTIVE_MESH:
+    st = _mesh_stack()
+    if not st:
         return None
-    mesh, axis = _ACTIVE_MESH[-1]
+    mesh, axis = st[-1]
     ndev = mesh.shape[axis]
     if ndev <= 1 or n % ndev or n < ndev * ndev:
         return None
@@ -120,7 +133,11 @@ def commit_evals(srs_lagrange: JacPoint, values):
     `bn254_ops().to_affine_host` contract is unchanged.
     """
     n = values.shape[0]
-    c = max(4, min(16, n.bit_length() - 4))
+    # floor c at 8: windows = ceil(254/c), and the traced Pippenger graph
+    # (digit extraction, bucket ids, reductions) scales with the window
+    # count -- c=4 at tiny n meant a 64-window graph whose XLA compile
+    # dominated the k=7 pipeline cold-start (multichip dryrun budget)
+    c = max(8, min(16, n.bit_length() - 4))
     n_windows = -(-254 // c)
     sh = _mesh_for(n)
     if sh is not None:
@@ -415,9 +432,24 @@ def commit_coeffs(srs_monomial: JacPoint, coeffs):
 @functools.cache
 def _eval_coeffs_list_fn(k: int, n_polys: int):
     """Evaluate coefficient-form polys at a point: dot(coeffs, pw) where
-    pw[i] = p^i.  Takes a LIST of [n,16] polys (no [P,n,16] stacking --
-    at wrapper scale a stacked copy is gigabytes)."""
+    pw[i] = p^i.  Takes a LIST of [n,16] polys.
+
+    Small domains stack the list into one [P,n,16] tensor so the traced
+    graph has ONE mul + tree-sum (P-fold smaller XLA program -- compile
+    time matters for the cold-start dryrun); at wrapper scale the stacked
+    copy is gigabytes, so large k keeps the per-poly list form."""
     n = 1 << k
+
+    if k <= 14:
+        def f(polys, pw):
+            acc = FR.mul(jnp.stack(polys), pw[None])
+            m = n
+            while m > 1:
+                acc = FR.add(acc[:, : m // 2], acc[:, m // 2 : m])
+                m //= 2
+            return acc[:, 0]
+
+        return jax.jit(f)
 
     def f(polys, pw):
         outs = []
@@ -541,6 +573,21 @@ def rlc(polys, coef_ints: list[int], k: int):
 
 @functools.cache
 def _rlc_list_fn(n_polys: int, k: int):
+    if k <= 14:
+        # stacked form: one mul + log-tree of adds (small traced graph)
+        def f(polys, coefs):
+            prods = FR.mul(jnp.stack(polys), jnp.stack(coefs)[:, None, :])
+            m = len(polys)
+            acc = prods
+            while m > 1:
+                h = m // 2
+                acc = jnp.concatenate(
+                    [FR.add(acc[:h], acc[m - h :]), acc[h : m - h]])
+                m = m - h
+            return acc[0]
+
+        return jax.jit(f)
+
     def f(polys, coefs):
         acc = FR.mul(polys[0], coefs[0][None, :])
         for i in range(1, len(polys)):

@@ -1,0 +1,176 @@
+"""Parallel compile warm-up for the proving pipeline.
+
+XLA compiles release the GIL, so the ~15 distinct programs `prove()`
+needs can compile CONCURRENTLY from worker threads instead of serially
+on first use inside the prover (cold-start latency was the round-3
+multichip-dryrun failure: the k=7 mesh pipeline took ~470s of strictly
+sequential first-compiles).  `warm_prove(ctx, k, srs, mesh)` derives
+every program's exact shapes from the host-side layout (no proving key
+needed) and fires them with dummy inputs across a thread pool; a
+subsequent `keygen` + `prove` then runs almost entirely from the jit
+caches.
+
+The dummy values are garbage on purpose -- only the compiled
+executables matter -- and every call goes through the same
+functools-cached factories the prover uses, so there is no risk of
+warming a near-miss shape.
+"""
+
+from __future__ import annotations
+
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.common import N_LIMBS
+from ..fields.field import bn254_fr
+from .keygen import PERM_CHUNK, layout_circuit
+
+FR = bn254_fr()
+
+
+def _dummy(n):
+    return jnp.ones((n, N_LIMBS), jnp.uint32)
+
+
+def _scalar():
+    return jnp.asarray(FR.one)
+
+
+def warm_prove(ctx, k: int, mesh=None, mesh_axis: str = "x",
+               verbose: bool = False):
+    """Compile (concurrently) every program keygen+prove will need for
+    the circuit in `ctx` at domain size 2^k.  Returns per-task seconds."""
+    from . import poly_device as pd
+    from . import plonk
+    from .device_rounds import _compute_h_fn, _omega_pows_dev, _z_chunk_fn
+
+    layout = layout_circuit(ctx, k)
+    n = 1 << k
+    n_perm = len(layout.perm_columns)
+    n_z = -(-n_perm // PERM_CHUNK)
+    max_deg = max(3, layout.n_lookup + 2, PERM_CHUNK + 2)
+    e_log = max(2, (max_deg - 1).bit_length())
+    E = 1 << e_log
+
+    names = (
+        [f"advice_{i}" for i in range(layout.n_advice)]
+        + [f"lookup_{i}" for i in range(layout.n_lookup)]
+        + [f"z_{c}" for c in range(n_z)]
+        + ["m", "h", "instance"]
+        + [f"q_{i}" for i in range(layout.n_advice)]
+        + ["const", "table", "active"]
+        + [f"sigma_{j}" for j in range(n_perm)]
+    )
+    names = sorted(names)
+
+    vk = plonk.VerifyingKey(
+        k=k, ext_log=e_log, n_advice=layout.n_advice,
+        n_lookup=layout.n_lookup, lookup_bits=layout.lookup_bits,
+        n_perm=n_perm, n_z=n_z, usable=layout.usable,
+        deltas=layout.deltas, num_instance=len(ctx.instance),
+        commitments={}, omega=0,
+    )
+    queries = plonk._query_plan(vk, E)
+    by_point = {}
+    for nm, pt in sorted(queries):
+        by_point.setdefault(pt, []).append(nm)
+
+    def run(name, fn):
+        t0 = time.time()
+        if mesh is not None:
+            with pd.prover_mesh(mesh, mesh_axis):
+                fn()
+        else:
+            fn()
+        dt = time.time() - t0
+        if verbose:
+            print(f"  warm {name}: {dt:.1f}s", flush=True)
+        return name, dt
+
+    def w_to_mont():
+        pd.to_device_poly([1] * n)
+
+    def w_commit():
+        from ..curves.jacobian import JacPoint
+
+        zeros = jnp.zeros((n, N_LIMBS), jnp.uint32)
+        pt = JacPoint(zeros, zeros, zeros)
+        c = pd.commit_evals(pt, pd.mont_to_canonical(_dummy(n)))
+        np.asarray(jax.device_get(c.z))
+
+    def w_ntts():
+        x = _dummy(n)
+        pd.evals_to_coeffs(x, k)
+        pd.coeffs_to_evals(x, k)
+        pd.coset_evals(x, _dummy(n), k)
+
+    def w_interp():
+        pd.coset_interpolate(_dummy(n * E), k, e_log)
+
+    def w_h():
+        if layout.n_lookup:
+            fn = _compute_h_fn(k, layout.n_lookup)
+            fn(jnp.stack([_dummy(n)] * layout.n_lookup), _dummy(n),
+               _dummy(n), _scalar())
+
+    def w_z():
+        om = _omega_pows_dev(k)
+        for c0 in range(0, n_perm, PERM_CHUNK):
+            sz = min(PERM_CHUNK, n_perm - c0)
+            fn = _z_chunk_fn(k, layout.usable, sz,
+                             tuple(layout.deltas[c0 : c0 + sz]))
+            fn(jnp.stack([_dummy(n)] * sz), jnp.stack([_dummy(n)] * sz),
+               om, _scalar(), _scalar(), _scalar())
+
+    def w_quotient():
+        fn = plonk._quotient_kernel(
+            k, layout.n_advice, layout.n_lookup, n_perm, layout.usable,
+            tuple(layout.deltas), tuple(names))
+        consts = [_scalar() for _ in range(4)]
+        fn([_dummy(n) for _ in names], _dummy(n), _scalar(), _scalar(),
+           _scalar(), _scalar(), *consts)
+
+    def w_evals():
+        pd._pow_table_traced_fn(k)(_scalar())
+        pd._eval_coeffs_list_fn(k, len(names) + 1)(
+            [_dummy(n)] * (len(names) + 1), _dummy(n))
+
+    def w_rlc():
+        pd.rlc_list([_dummy(n)] * E, list(range(1, E + 1)), k)
+        for pt_names in by_point.values():
+            pd.rlc_list([_dummy(n)] * len(pt_names),
+                        list(range(1, len(pt_names) + 1)), k)
+
+    def w_open():
+        pd.opening_witness_evals(_dummy(n), 3, 5, k)
+
+    def w_sigma():
+        plonk._sigma_values_dev(layout)
+
+    tasks = [
+        ("quotient", w_quotient),
+        ("commit", w_commit),
+        ("ntts", w_ntts),
+        ("interp", w_interp),
+        ("z", w_z),
+        ("evals", w_evals),
+        ("rlc", w_rlc),
+        ("h", w_h),
+        ("open", w_open),
+        ("sigma", w_sigma),
+        ("to_mont", w_to_mont),
+    ]
+    import os
+
+    out = {}
+    workers = min(len(tasks), max(2, (os.cpu_count() or 4)))
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        futs = [ex.submit(run, nm, fn) for nm, fn in tasks]
+        for f in futs:
+            nm, dt = f.result()
+            out[nm] = dt
+    return out
