@@ -101,29 +101,44 @@ class _FieldK:
         self.lazy = lazy
 
     def mul(self, a, b):
-        """Montgomery product; canonical (< p), or < 2p in lazy mode."""
-        cols = jnp.zeros((_NROWS, a.shape[1]), jnp.uint32)
+        """Montgomery product; canonical (< p), or < 2p in lazy mode.
+
+        CIOS (coarsely integrated operand scanning): product and
+        reduction interleave in ONE 16-step pass over a sliding [17, W]
+        window -- each step adds a_i*b and m*p into the window, retires
+        the (now ≡ 0 mod 2^16) head column, and shifts.  Roughly half
+        the stacked-tile ops of the previous separate conv + REDC over
+        a static [33, W] frame (the window rows stay < 2^22: ≤ 4
+        sub-2^16 addends per row per step over ≤ 16 steps + retire
+        carries, so uint32 never overflows)."""
+        W = a.shape[1]
+        rows = N_LIMBS + 1  # 17-row window
+
+        def win(x, off):
+            # pad [16, W] contributions into the window at row offset off
+            return jnp.pad(x, ((off, rows - N_LIMBS - off), (0, 0)))
+
+        t = jnp.zeros((rows, W), jnp.uint32)
         for i in range(N_LIMBS):
             prod = a[i][None, :] * b
-            cols = (cols + _shifted(prod & _MASK, i)
-                    + _shifted(prod >> LIMB_BITS, i + 1))
-        for i in range(N_LIMBS):
-            m = (cols[i] * self.n0) & _MASK
-            prod = m[None, :] * self.p_col
-            cols = (cols + _shifted(prod & _MASK, i)
-                    + _shifted(prod >> LIMB_BITS, i + 1))
-            cols = cols + jnp.pad((cols[i] >> LIMB_BITS)[None, :],
-                                  ((i + 1, _NROWS - i - 2), (0, 0)))
-        carry = jnp.zeros_like(cols[0])
+            t = t + win(prod & _MASK, 0) + win(prod >> LIMB_BITS, 1)
+            m = (t[0] * self.n0) & _MASK
+            mp = m[None, :] * self.p_col
+            t = t + win(mp & _MASK, 0) + win(mp >> LIMB_BITS, 1)
+            # head ≡ 0 mod 2^16: carry it into the next column and shift
+            head_carry = (t[0] >> LIMB_BITS)[None, :]
+            t = jnp.concatenate(
+                [t[1:2] + head_carry, t[2:], jnp.zeros((1, W), jnp.uint32)])
+        carry = jnp.zeros_like(t[0])
         out = []
         for i in range(N_LIMBS):
-            tot = cols[N_LIMBS + i] + carry
+            tot = t[i] + carry
             out.append(tot & _MASK)
             carry = tot >> LIMB_BITS
         if self.lazy:
             # result < 2p < 2^256: the top carry is provably zero
             return jnp.stack(out)
-        return _cond_sub_p(out, (carry + cols[2 * N_LIMBS]) > 0, self.p_rows)
+        return _cond_sub_p(out, (carry + t[N_LIMBS]) > 0, self.p_rows)
 
     def sqr(self, a):
         return self.mul(a, a)
@@ -537,6 +552,240 @@ def _bucket_scan_call(p_int: int, n0: int, M: int, K: int, interpret: bool,
 
     return jax.jit(
         lambda fl, x, y, z: inner(jnp.asarray(p_tile), fl, x, y, z))
+
+
+# --------------------------------------------------------------------------
+# Weighted-suffix + ladder/tree kernels: the Pippenger POST-scan stages
+# (bucket weighting, window combine, final reduction) as in-kernel
+# lax.fori loops.  The previous jnp composition dispatched ~50 separate
+# point-kernel launches per MSM (suffix rounds, tree halvings, 240
+# Horner doublings); measured 84ms of the 185ms 2^16 MSM.  Loop bodies
+# stay small (one add/dbl body), so Mosaic compile stays safe.
+# --------------------------------------------------------------------------
+
+@functools.cache
+def _weighted_suffix_call(p_int: int, n0: int, total: int, B: int,
+                          interpret: bool, b3: int):
+    """[16, total] window-major flat bucket sums -> double-suffix s2:
+    s2[w*B + b] = sum_{b' >= b} (b' - b + 1) * S[w, b'] (window-local)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    p_limbs = int_to_limbs(p_int)
+    one_rows = int_to_limbs((1 << (LIMB_BITS * N_LIMBS)) % p_int)
+    # block = a multiple of B (window-local rolls must not cross blocks)
+    # that divides total; aim for ~8192 lanes per grid step
+    mult = max(1, 8192 // B)
+    while (total // B) % mult:
+        mult -= 1
+    block = min(total, B * mult)
+    rounds = max(B.bit_length() - 1, 1) if B > 1 else 0
+
+    def kernel(p_ref, x_ref, y_ref, z_ref, ox, oy, oz):
+        F = _FieldK(p_ref[:, :1], p_limbs, n0, lazy=bool(b3))
+        lane_b = jax.lax.broadcasted_iota(jnp.int32, (1, block), 1) % B
+        one_y = jnp.stack(
+            [jnp.full((block,), np.uint32(one_rows[i]))
+             for i in range(N_LIMBS)])
+        zero = jnp.zeros((N_LIMBS, block), jnp.uint32)
+
+        def suffix(st):
+            def rnd(r, st):
+                x, y, z = st
+                d = jnp.int32(1) << r
+                valid = lane_b + d < B  # [1, block]
+                sx = jnp.where(valid, pltpu.roll(x, -d, axis=1), zero)
+                sy = jnp.where(valid, pltpu.roll(y, -d, axis=1), one_y)
+                sz = jnp.where(valid, pltpu.roll(z, -d, axis=1), zero)
+                return _run_body("padd" if b3 else "add", F,
+                                 (x, y, z, sx, sy, sz), b3)
+
+            return jax.lax.fori_loop(0, rounds, rnd, st)
+
+        s1 = suffix((x_ref[:], y_ref[:], z_ref[:]))
+        s2 = suffix(s1)
+        ox[:], oy[:], oz[:] = s2
+
+    spec = pl.BlockSpec((N_LIMBS, block), lambda i: (0, i))
+    p_spec = pl.BlockSpec((N_LIMBS, 128), lambda i: (0, 0))
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((N_LIMBS, total), jnp.uint32) for _ in range(3))
+    params = {} if interpret else dict(
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024))
+    inner = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid=(total // block,),
+        in_specs=[p_spec, spec, spec, spec],
+        out_specs=(spec,) * 3,
+        interpret=interpret,
+        **params,
+    )
+    p_tile = np.broadcast_to(
+        p_limbs.reshape(N_LIMBS, 1), (N_LIMBS, 128)).copy()
+    return jax.jit(lambda x, y, z: inner(jnp.asarray(p_tile), x, y, z))
+
+
+@functools.cache
+def _weighted_suffix_direct(p_int: int, n0: int, total: int, B: int,
+                            b3: int):
+    """CPU mirror of _weighted_suffix_call (jnp.roll, same bodies)."""
+    p_limbs = int_to_limbs(p_int)
+    one_rows = int_to_limbs((1 << (LIMB_BITS * N_LIMBS)) % p_int)
+    rounds = max(B.bit_length() - 1, 1) if B > 1 else 0
+
+    def run(x, y, z):
+        p_col = jnp.asarray(p_limbs.reshape(N_LIMBS, 1))
+        F = _FieldK(p_col, p_limbs, n0, lazy=bool(b3))
+        lane_b = (jnp.arange(total) % B)[None, :]
+        one_y = jnp.broadcast_to(
+            jnp.asarray(one_rows)[:, None], (N_LIMBS, total))
+        zero = jnp.zeros((N_LIMBS, total), jnp.uint32)
+
+        def suffix(st):
+            def rnd(r, st):
+                x, y, z = st
+                d = jnp.int32(1) << r
+                valid = lane_b + d < B
+                sx = jnp.where(valid, jnp.roll(x, -d, axis=1), zero)
+                sy = jnp.where(valid, jnp.roll(y, -d, axis=1), one_y)
+                sz = jnp.where(valid, jnp.roll(z, -d, axis=1), zero)
+                return _run_body("padd" if b3 else "add", F,
+                                 (x, y, z, sx, sy, sz), b3)
+
+            return jax.lax.fori_loop(0, rounds, rnd, st)
+
+        return suffix(suffix((x, y, z)))
+
+    return jax.jit(run)
+
+
+def weighted_suffix_fused(flat, B: int, p_int: int, n0: int, b3: int = 0):
+    """flat: (x, y, z) each [total, 16] limb-minor window-major bucket
+    sums -> double-suffix s2 in the same layout (see _weighted_suffix_call).
+    """
+    total = flat[0].shape[0]
+    maj = [a.T for a in flat]
+    if _use_direct():
+        out = _weighted_suffix_direct(p_int, n0, total, B, b3)(*maj)
+    else:
+        out = _weighted_suffix_call(p_int, n0, total, B,
+                                    _use_interpret(), b3)(*maj)
+    return tuple(a.T for a in out)
+
+
+@functools.cache
+def _ladder_tree_call(p_int: int, n0: int, c: int, W: int,
+                      interpret: bool, b3: int):
+    """[16, 128] window sums (lane w < W = window w, rest identity) ->
+    [16, 128] whose lane 0 is T = sum_w 2^(c*w) S_w: in-kernel Horner
+    ladder (c*(W-1) masked doublings) + masked suffix tree."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    p_limbs = int_to_limbs(p_int)
+    one_rows = int_to_limbs((1 << (LIMB_BITS * N_LIMBS)) % p_int)
+    LW = 128
+
+    def kernel(p_ref, x_ref, y_ref, z_ref, ox, oy, oz):
+        F = _FieldK(p_ref[:, :1], p_limbs, n0, lazy=bool(b3))
+        widx = jax.lax.broadcasted_iota(jnp.int32, (1, LW), 1)
+        one_y = jnp.stack(
+            [jnp.full((LW,), np.uint32(one_rows[i])) for i in range(N_LIMBS)])
+        zero = jnp.zeros((N_LIMBS, LW), jnp.uint32)
+
+        def ladder(i, st):
+            x, y, z = st
+            dx, dy, dz = _run_body("pdbl" if b3 else "dbl", F, (x, y, z), b3)
+            need = (widx * c) > i  # [1, LW]
+            return (jnp.where(need, dx, x), jnp.where(need, dy, y),
+                    jnp.where(need, dz, z))
+
+        st = jax.lax.fori_loop(0, c * (W - 1), ladder,
+                               (x_ref[:], y_ref[:], z_ref[:]))
+
+        def tree(r, st):
+            x, y, z = st
+            d = jnp.int32(1) << r
+            valid = widx + d < LW
+            sx = jnp.where(valid, pltpu.roll(x, -d, axis=1), zero)
+            sy = jnp.where(valid, pltpu.roll(y, -d, axis=1), one_y)
+            sz = jnp.where(valid, pltpu.roll(z, -d, axis=1), zero)
+            return _run_body("padd" if b3 else "add", F,
+                             (x, y, z, sx, sy, sz), b3)
+
+        st = jax.lax.fori_loop(0, 7, tree, st)
+        ox[:], oy[:], oz[:] = st
+
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((N_LIMBS, LW), jnp.uint32) for _ in range(3))
+    inner = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        interpret=interpret,
+    )
+    p_tile = np.broadcast_to(
+        p_limbs.reshape(N_LIMBS, 1), (N_LIMBS, 128)).copy()
+    return jax.jit(lambda x, y, z: inner(jnp.asarray(p_tile), x, y, z))
+
+
+@functools.cache
+def _ladder_tree_direct(p_int: int, n0: int, c: int, W: int, b3: int):
+    p_limbs = int_to_limbs(p_int)
+    one_rows = int_to_limbs((1 << (LIMB_BITS * N_LIMBS)) % p_int)
+    LW = 128
+
+    def run(x, y, z):
+        p_col = jnp.asarray(p_limbs.reshape(N_LIMBS, 1))
+        F = _FieldK(p_col, p_limbs, n0, lazy=bool(b3))
+        widx = jnp.arange(LW)[None, :]
+        one_y = jnp.broadcast_to(jnp.asarray(one_rows)[:, None],
+                                 (N_LIMBS, LW))
+        zero = jnp.zeros((N_LIMBS, LW), jnp.uint32)
+
+        def ladder(i, st):
+            xx, yy, zz = st
+            dx, dy, dz = _run_body("pdbl" if b3 else "dbl", F,
+                                   (xx, yy, zz), b3)
+            need = (widx * c) > i
+            return (jnp.where(need, dx, xx), jnp.where(need, dy, yy),
+                    jnp.where(need, dz, zz))
+
+        st = jax.lax.fori_loop(0, c * (W - 1), ladder, (x, y, z))
+
+        def tree(r, st):
+            xx, yy, zz = st
+            d = jnp.int32(1) << r
+            valid = widx + d < LW
+            sx = jnp.where(valid, jnp.roll(xx, -d, axis=1), zero)
+            sy = jnp.where(valid, jnp.roll(yy, -d, axis=1), one_y)
+            sz = jnp.where(valid, jnp.roll(zz, -d, axis=1), zero)
+            return _run_body("padd" if b3 else "add", F,
+                             (xx, yy, zz, sx, sy, sz), b3)
+
+        return jax.lax.fori_loop(0, 7, tree, st)
+
+    return jax.jit(run)
+
+
+def ladder_tree_fused(wsums, c: int, W: int, p_int: int, n0: int,
+                      b3: int = 0):
+    """wsums: (x, y, z) each [W, 16] -> single combined point
+    ((x, y, z) each [16]): T = sum_w 2^(c*w) S_w."""
+    pad = 128 - W
+    one_rows = int_to_limbs((1 << (LIMB_BITS * N_LIMBS)) % p_int)
+    xs = jnp.pad(wsums[0], ((0, pad), (0, 0))).T
+    ys = jnp.concatenate(
+        [wsums[1], jnp.broadcast_to(jnp.asarray(one_rows),
+                                    (pad, N_LIMBS))]).T
+    zs = jnp.pad(wsums[2], ((0, pad), (0, 0))).T
+    if _use_direct():
+        out = _ladder_tree_direct(p_int, n0, c, W, b3)(xs, ys, zs)
+    else:
+        out = _ladder_tree_call(p_int, n0, c, W, _use_interpret(),
+                                b3)(xs, ys, zs)
+    return tuple(a[:, 0] for a in out)
 
 
 @functools.cache

@@ -100,10 +100,11 @@ def _segmented_bucket_sums(ops: CurveOps, pts: JacPoint, ids, n_buckets: int,
 
     if lanes is None:
         # fused mega-kernel: the add body keeps ~30 live [16, M] tiles in
-        # VMEM (measured 36.8MB frame at M=8192 vs the 16MB scoped limit),
-        # so cap M at 2048 (~9MB frame).  The composed jnp path has no such
-        # limit -- wider lanes mean fewer scan steps.
-        M = min(n, 2048 if ops.use_fused() else 16384)
+        # VMEM (~37MB frame at M=8192) -- within the raised 112MB
+        # per-kernel budget (fused.py _bucket_scan_call), and 4x fewer
+        # sequential grid steps than the old 2048-lane cap (each step
+        # pays fixed issue/dispatch overhead on top of its vector work)
+        M = min(n, 8192 if ops.use_fused() else 16384)
     else:
         M = min(n, lanes)
     K = -(-n // M)
@@ -202,19 +203,28 @@ def _segmented_bucket_sums(ops: CurveOps, pts: JacPoint, ids, n_buckets: int,
     cy = ident_tab.y.at[tgt_c].set(carry.y)
     cz = ident_tab.z.at[tgt_c].set(carry.z)
 
-    # ---- tails: last element of each run carries the lane-local run sum
+    # ---- tails: last element of each run carries the lane-local run sum.
+    # Each bucket's tail POSITION is searchsorted(ids_s, b, 'right') - 1
+    # (ids_s is sorted), so the tails are a [n_buckets]-row GATHER from
+    # the scan output instead of an n_pad-row scatter into a bucket
+    # table -- the scatter moved ~n_pad * 192B through HBM (a measured
+    # ~25ms at 2^16); the gather moves n_buckets * 192B.
     flat_x = jnp.moveaxis(parts_x, 0, 1).reshape(n_pad, N_LIMBS)
     flat_y = jnp.moveaxis(parts_y, 0, 1).reshape(n_pad, N_LIMBS)
     flat_z = jnp.moveaxis(parts_z, 0, 1).reshape(n_pad, N_LIMBS)
-    nxt = jnp.concatenate([ids_s[1:], jnp.full((1,), -2, ids_s.dtype)])
-    is_tail = ids_s != nxt
-    target = jnp.where(is_tail, ids_s, n_buckets)
-    bx = ident_tab.x.at[target].set(flat_x)
-    by = ident_tab.y.at[target].set(flat_y)
-    bz = ident_tab.z.at[target].set(flat_z)
+    qid = jnp.arange(n_buckets, dtype=ids_s.dtype)
+    pos = jnp.searchsorted(ids_s, qid, side="right") - 1
+    occupied = (pos >= 0) & (ids_s[jnp.maximum(pos, 0)] == qid)
+    posc = jnp.maximum(pos, 0)
+    keep = occupied[:, None]
+    ident_b = _take(ident_tab, 0, 0, n_buckets)
+    bx = jnp.where(keep, flat_x[posc], ident_b.x)
+    by = jnp.where(keep, flat_y[posc], ident_b.y)
+    bz = jnp.where(keep, flat_z[posc], ident_b.z)
 
-    tot = ops.add(JacPoint(bx, by, bz), JacPoint(cx, cy, cz))
-    return _take(tot, 0, 0, n_buckets)
+    tot = ops.add(JacPoint(bx, by, bz),
+                  _take(JacPoint(cx, cy, cz), 0, 0, n_buckets))
+    return tot
 
 
 def _suffix_scan(ops: CurveOps, pts: JacPoint) -> JacPoint:
@@ -256,13 +266,15 @@ def _weighted_small(ops: CurveOps, buckets: JacPoint,
 def _tree_reduce(ops: CurveOps, pts: JacPoint, axis: int) -> JacPoint:
     """Plain group sum along `axis` (length a power of two).
 
-    Small axes (<= 256) reduce with ONE masked fori_loop ladder (the
+    Small axes (<= 16) reduce with ONE masked fori_loop ladder (the
     suffix-scan body) instead of log2(n) separately-traced halving adds:
     the traced graph has a single add body, which cuts the XLA compile
-    of every Pippenger instantiation (cold-start budget) for ~2% extra
-    runtime adds.  Large axes keep the work-optimal halving."""
+    of every Pippenger instantiation (cold-start budget).  Larger axes
+    keep the work-optimal halving -- the ladder's log(n)*n adds showed
+    up as ~+15ms at 2^16 when the bound was 256 (the c=13 weighted
+    reduction has blo = bhi = 64)."""
     n = pts.x.shape[axis]
-    if 1 < n <= 256:
+    if 1 < n <= 16:
         ax = axis % pts.x.ndim
         m = JacPoint(jnp.moveaxis(pts.x, ax, -2), jnp.moveaxis(pts.y, ax, -2),
                      jnp.moveaxis(pts.z, ax, -2))
@@ -413,6 +425,24 @@ def msm_impl(ops: CurveOps, pts: JacPoint, scalars, c: int, n_windows: int,
             jnp.concatenate([p.x for p in parts]),
             jnp.concatenate([p.y for p in parts]),
             jnp.concatenate([p.z for p in parts]))
+    b3 = getattr(ops, "b3", 0)
+    if b3:
+        # fused post-scan pipeline: ONE double-suffix kernel (weighted
+        # bucket reduction, window-local masked rolls) + ONE
+        # ladder/tree kernel (Horner doublings + final sum) -- replaces
+        # ~50 separate point-kernel dispatches (measured 84ms of the
+        # 185ms 2^16 MSM; see curves/fused.py)
+        from ..curves.fused import ladder_tree_fused, weighted_suffix_fused
+
+        s2 = weighted_suffix_fused(
+            (flat_buckets.x, flat_buckets.y, flat_buckets.z), B,
+            ops.F.p, int(ops.F.n0), b3=b3)
+        sel = jnp.arange(W) * B + (0 if signed else 1)
+        x, y, z = ladder_tree_fused(
+            (s2[0][sel], s2[1][sel], s2[2][sel]), c, W,
+            ops.F.p, int(ops.F.n0), b3=b3)
+        return JacPoint(x, y, z)
+
     buckets = JacPoint(
         flat_buckets.x.reshape(W, B, -1),
         flat_buckets.y.reshape(W, B, -1),
