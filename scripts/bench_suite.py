@@ -83,11 +83,12 @@ def bench_ntt(results, sizes, iters=5):
     for k in sizes:
         n = 1 << k
         x = F.to_mont(list(range(1, n + 1)))
-        out = ntt(x, k)
+        fwd = ntt(k).forward
+        out = fwd(x)
         sync(out[:1])
         t0 = time.time()
         for _ in range(iters):
-            out = ntt(x, k)
+            out = fwd(x)
         sync(out[:1])
         dt = (time.time() - t0) / iters
         results[f"ntt_2e{k}_ms"] = round(dt * 1000, 2)
@@ -121,7 +122,14 @@ def bench_proofs(results, voter_k=13, state_k=15):
         t0 = time.time()
         ctx = Context(lookup_bits=min(14, k - 1))
         pub = []
-        build(ctx, inp, pub)
+        if name == "voter":
+            # bench shape is the reference's K=13 (voter_circuit.rs:23):
+            # PLUME (default ON) only fits the k>=21 production shape
+            from zksnap_tpu.circuits.voter import VoterFlags
+
+            build(ctx, inp, pub, VoterFlags(check_plume=False))
+        else:
+            build(ctx, inp, pub)
         wit_s = time.time() - t0
         srs = gen_srs(k)
         t0 = time.time()

@@ -570,7 +570,9 @@ def gen_wrapper_pk(cfg: WrapperConfig, srs, allow_unsound: bool = False):
     assert allow_unsound or cfg.msm_unsound_truncate is None, (
         "msm_unsound_truncate is test-only (soundness-breaking); "
         "production keygen refuses it unless allow_unsound=True")
-    cfg, ctx = solve_wrapper_shape(cfg)
+    # verbose: each fixed-point iteration at production width is ~25 min
+    # of python synthesis -- progress must be observable
+    cfg, ctx = solve_wrapper_shape(cfg, verbose=True)
     pk = keygen(ctx, cfg.k, srs)
     got = WrapperShape(n_advice=pk.vk.n_advice, n_lookup=pk.vk.n_lookup,
                        n_z=pk.vk.n_z, n_perm=pk.vk.n_perm,
