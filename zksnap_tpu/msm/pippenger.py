@@ -99,12 +99,10 @@ def _segmented_bucket_sums(ops: CurveOps, pts: JacPoint, ids, n_buckets: int,
     px, py, pz = pts.x[order], pts.y[order], pts.z[order]
 
     if lanes is None:
-        # fused mega-kernel: the add body keeps ~30 live [16, M] tiles in
-        # VMEM (~37MB frame at M=8192) -- within the raised 112MB
-        # per-kernel budget (fused.py _bucket_scan_call), and 4x fewer
-        # sequential grid steps than the old 2048-lane cap (each step
-        # pays fixed issue/dispatch overhead on top of its vector work)
-        M = min(n, 8192 if ops.use_fused() else 16384)
+        # fused mega-kernel: M=2048 measured fastest on v5e (124ms full
+        # 2^16 MSM vs 162ms at M=8192 in the same process -- the ~37MB
+        # VMEM frame at 8192 lanes costs more than the saved grid steps)
+        M = min(n, 2048 if ops.use_fused() else 16384)
     else:
         M = min(n, lanes)
     K = -(-n // M)
@@ -425,8 +423,16 @@ def msm_impl(ops: CurveOps, pts: JacPoint, scalars, c: int, n_windows: int,
             jnp.concatenate([p.x for p in parts]),
             jnp.concatenate([p.y for p in parts]),
             jnp.concatenate([p.z for p in parts]))
+    import os as _os
+
+    # The in-kernel weighted-suffix/ladder reduction kernels
+    # (curves/fused.py) are OFF by default: same-process A/B on v5e
+    # measured them at +106ms on the 2^16 MSM (230.7 vs 124.3 ms) --
+    # the dynamic pltpu.roll rounds lower poorly in Mosaic.  Kept behind
+    # the flag for future tuning (they ARE the right dispatch-count
+    # shape; the composed jnp path pays ~45ms of launch overhead).
     b3 = getattr(ops, "b3", 0)
-    if b3:
+    if b3 and _os.environ.get("ZKSNAP_TPU_FUSED_REDUCE", "0") == "1":
         # fused post-scan pipeline: ONE double-suffix kernel (weighted
         # bucket reduction, window-local masked rolls) + ONE
         # ladder/tree kernel (Horner doublings + final sum) -- replaces
