@@ -132,7 +132,8 @@ class BigUintChip:
         cb = m - LIMB_BITS + 2
         for i in range(n):
             t_int = lv[i] - rv[i] + carry_int
-            assert t_int % LIMB_BASE == 0, "assert_equal witness mismatch"
+            assert not ctx.assert_witness or t_int % LIMB_BASE == 0, \
+                "assert_equal witness mismatch"
             new_carry_int = t_int // LIMB_BASE
             new_carry = ctx.load_witness(new_carry_int % ctx.p)
             # constraint: l - r + c == B * c'
