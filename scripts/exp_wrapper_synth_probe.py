@@ -109,7 +109,9 @@ def main():
     done = threading.Event()
 
     def monitor():
-        faulthandler.dump_traceback_later(120, repeat=True)
+        # NOTE: no dump_traceback_later(repeat=True) here -- walking the
+        # running main thread's frames segfaulted libpython (observed
+        # in-session); the one-shot dump at deadline is risk enough.
         while not done.wait(30):
             rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
             mark(f"monitor: {len(ctx.advice)/1e6:.2f}M cells, "

@@ -553,7 +553,8 @@ def solve_wrapper_shape(cfg: WrapperConfig, max_iter: int = 6,
                                  len(ctx.lookups))
         if verbose:
             print(f"shape iter {it}: {shape} -> {new} "
-                  f"({len(ctx.advice)} cells, {len(ctx.lookups)} lookups)")
+                  f"({len(ctx.advice)} cells, {len(ctx.lookups)} lookups)",
+                  flush=True)  # block-buffered logs hid these for hours (r4)
         if new == shape:
             return cfg, ctx
         shape = new
