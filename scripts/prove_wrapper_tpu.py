@@ -144,7 +144,8 @@ def main():
         msm_unsound_truncate=msm_trunc,
         msm_window=2 if toy else 4,
     )
-    cfg, wpk = gen_wrapper_pk(cfg, srs_wrap, allow_unsound=toy)
+    cfg, wpk = gen_wrapper_pk(cfg, srs_wrap, allow_unsound=toy,
+                              cache_dir="build")
     comms = wpk.vk.commitments
     print(f"wrapper keygen: {time.time()-t0:.1f}s shape={cfg.shape}",
           flush=True)

@@ -94,19 +94,11 @@ def _shape_from_counts(k: int, n_cells: int, gate_offsets,
     materializing columns or the sigma permutation."""
     import numpy as np
 
+    from ..prover.keygen import _advice_col_starts
+
     usable = (1 << k) - ZK_ROWS
-    gates = np.asarray(sorted(gate_offsets), dtype=np.int64)
-    col_starts = [0]
-    while col_starts[-1] + usable < n_cells:
-        tentative = col_starts[-1] + usable
-        lo = np.searchsorted(gates, tentative - 3)
-        cut = tentative
-        for g in gates[lo : lo + 4]:
-            if g < tentative < g + 4:
-                cut = int(g)
-                break
-        col_starts.append(cut)
-    n_advice = len(col_starts)
+    gates = np.sort(np.asarray(gate_offsets, dtype=np.int64))
+    n_advice = len(_advice_col_starts(n_cells, gates, usable))
     n_lookup = max(1, -(-n_lookups // usable)) if n_lookups else 0
     n_perm = n_advice + n_lookup + 2
     n_z = -(-n_perm // PERM_CHUNK)
@@ -561,17 +553,70 @@ def solve_wrapper_shape(cfg: WrapperConfig, max_iter: int = 6,
     raise RuntimeError("wrapper shape did not converge")
 
 
-def gen_wrapper_pk(cfg: WrapperConfig, srs, allow_unsound: bool = False):
+def _cfg_fingerprint(cfg: WrapperConfig) -> str:
+    """Cache key over everything the wrapper pk depends on: domain size,
+    child verifying keys (commitments included), linkage and MSM config."""
+    import hashlib
+
+    def vk_fp(vk: VerifyingKey) -> str:
+        h = hashlib.sha256()
+        h.update(f"{vk.k}:{vk.ext_log}:{vk.n_advice}:{vk.n_lookup}:"
+                 f"{vk.lookup_bits}:{vk.n_perm}:{vk.n_z}:{vk.usable}:"
+                 f"{vk.num_instance}".encode())
+        for name in sorted(vk.commitments):
+            pt = vk.commitments[name]
+            x, y = (0, 0) if pt.is_identity() else (pt.x, pt.y)
+            h.update(name.encode() + x.to_bytes(32, "little")
+                     + y.to_bytes(32, "little"))
+        return h.hexdigest()
+
+    key = (f"v2|k={cfg.k}|lb={cfg.lookup_bits}|np={cfg.n_payload}"
+           f"|w={cfg.msm_window}|tr={cfg.msm_unsound_truncate}"
+           f"|lk={cfg.linkage.__name__}"
+           f"|voter={vk_fp(cfg.voter_vk)}|state={vk_fp(cfg.state_vk)}")
+    return hashlib.sha256(key.encode()).hexdigest()[:16]
+
+
+def gen_wrapper_pk(cfg: WrapperConfig, srs, allow_unsound: bool = False,
+                   cache_dir: str | None = None):
     """Resolve the shape fixed point and run real keygen on the dummy
     synthesis (witness-independent, as halo2 keygen is).  Returns
     (cfg, ProvingKey); pk.vk.commitments are the circuit's REAL
-    preprocessed commitments -- the values every round witnesses."""
+    preprocessed commitments -- the values every round witnesses.
+
+    cache_dir checkpoints the resolved shape + pk to disk keyed by a
+    config fingerprint (the reference's build/recursion_pk.bin reuse,
+    wrapper.rs:1073-1106): the first run pays the fixed-point solve +
+    keygen; later runs load in seconds.
+    """
+    import json
+    import os
+    import time
+
     from ..prover.plonk import keygen
+    from ..prover.serialize import load_pk, save_pk
 
     assert allow_unsound or cfg.msm_unsound_truncate is None, (
         "msm_unsound_truncate is test-only (soundness-breaking); "
         "production keygen refuses it unless allow_unsound=True")
-    # verbose: each fixed-point iteration at production width is ~25 min
+
+    meta_p = pk_p = None
+    if cache_dir is not None:
+        fp = _cfg_fingerprint(cfg)
+        meta_p = os.path.join(cache_dir, f"wrapper_{fp}.meta.json")
+        pk_p = os.path.join(cache_dir, f"wrapper_{fp}.pk")
+        if os.path.exists(meta_p) and os.path.exists(pk_p):
+            t0 = time.time()
+            with open(meta_p) as f:
+                meta = json.load(f)
+            cfg = replace(cfg, shape=WrapperShape(**meta["shape"]))
+            pk = load_pk(pk_p)
+            assert pk.vk.num_instance == cfg.num_instance
+            print(f"wrapper pk cache hit ({pk_p}): {time.time()-t0:.1f}s",
+                  flush=True)
+            return cfg, pk
+
+    # verbose: each fixed-point iteration at production width is ~10 min
     # of python synthesis -- progress must be observable
     cfg, ctx = solve_wrapper_shape(cfg, verbose=True)
     pk = keygen(ctx, cfg.k, srs)
@@ -580,6 +625,13 @@ def gen_wrapper_pk(cfg: WrapperConfig, srs, allow_unsound: bool = False):
                        ext_log=pk.vk.ext_log)
     assert got == cfg.shape, f"keygen shape drift: {got} != {cfg.shape}"
     assert pk.vk.num_instance == cfg.num_instance
+    if pk_p is not None:
+        from dataclasses import asdict
+
+        save_pk(pk, pk_p, strip_witness=True)
+        with open(meta_p, "w") as f:
+            json.dump({"shape": asdict(cfg.shape)}, f)
+        print(f"wrapper pk cached -> {pk_p}", flush=True)
     return cfg, pk
 
 

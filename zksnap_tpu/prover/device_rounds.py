@@ -152,19 +152,25 @@ def _z_chunk_fn(k: int, usable: int, sz: int, deltas_chunk: tuple):
     return jax.jit(f)
 
 
-def compute_z_dev(layout, cols_dev: list, sigma_loader, beta: int,
+def compute_z_dev(layout, col_loader, sigma_loader, beta: int,
                   gamma: int):
     """Device chained permutation grand products, one chunk at a time.
 
-    cols_dev: Montgomery [n,16] per involved column (same order as
-    layout.perm_columns); sigma_loader(j) must return sigma_j's
-    evaluation form (built by NTT from pk.fixed_coeffs).  Returns
-    (list of z_c [n,16], closure) where closure must equal 1 in
+    col_loader(j) / sigma_loader(j) must return the evaluation form
+    ([n,16] Montgomery) of permutation column j / sigma_j on demand
+    (column evals are regenerated per chunk by forward NTT from the
+    packed at-rest coefficients, so no more than one chunk's columns
+    are resident -- holding every perm column's evals was ~7GB at
+    wrapper width; col_loader also accepts a plain list for tests).
+    Returns (list of z_c [n,16], closure) where closure must equal 1 in
     Montgomery form.  The carry chains device-to-device; only the final
     closure forces a host sync (in the caller).
     """
     from .keygen import PERM_CHUNK
 
+    if isinstance(col_loader, (list, tuple)):
+        cols_list = col_loader
+        col_loader = lambda j: cols_list[j]  # noqa: E731
     n_perm = len(layout.perm_columns)
     om = _omega_pows_dev(layout.k)
     beta_d = jnp.asarray(FR.const(beta))
@@ -175,7 +181,7 @@ def compute_z_dev(layout, cols_dev: list, sigma_loader, beta: int,
         sz = min(PERM_CHUNK, n_perm - c0)
         fn = _z_chunk_fn(layout.k, layout.usable, sz,
                          tuple(layout.deltas[c0 : c0 + sz]))
-        cols = jnp.stack(cols_dev[c0 : c0 + sz])
+        cols = jnp.stack([col_loader(j) for j in range(c0, c0 + sz)])
         sigmas = jnp.stack([sigma_loader(j) for j in range(c0, c0 + sz)])
         z, carry = fn(cols, sigmas, om, beta_d, gamma_d, carry)
         zs.append(z)

@@ -124,10 +124,12 @@ def _sigma_values(layout: Layout) -> list[list[int]]:
     return out
 
 
-def _sigma_values_dev(layout: Layout) -> list:
-    """Device sigma columns [n,16] Montgomery: a gather of
-    delta^{j'} * omega^{i'} from two device power tables (the host
-    version is O(n_perm * n) python bigint muls -- minutes at k=21)."""
+def _sigma_values_dev(layout: Layout):
+    """Yields device sigma columns [n,16] Montgomery one at a time: a
+    gather of delta^{j'} * omega^{i'} from two device power tables (the
+    host version is O(n_perm * n) python bigint muls -- minutes at k=21;
+    the former all-at-once [n_perm, n, 16] stack was 7.4GB of HBM at
+    wrapper width, so columns now stream through keygen's ingest)."""
     from ..fields.common import ints_to_limbs
     from ..poly.domain import domain
     from .poly_device import pow_series
@@ -136,10 +138,11 @@ def _sigma_values_dev(layout: Layout) -> list:
     omega_pows = pow_series(domain(layout.k).omega, n)
     delta_mont = jnp.asarray(
         ints_to_limbs([d * FR.R % P for d in layout.deltas]))
-    sig = jnp.asarray(layout.sigma.astype(np.int32))  # [n_perm, n, 2]
-    fn = jax.jit(lambda dm, op, s: FR.mul(dm[s[:, :, 0]], op[s[:, :, 1]]))
-    stack = fn(delta_mont, omega_pows, sig)  # [n_perm, n, 16]
-    return [stack[j] for j in range(len(layout.perm_columns))]
+    fn = jax.jit(lambda dm, op, s: FR.mul(
+        jnp.broadcast_to(dm[s[:, 0]], (n, 16)), op[s[:, 1]]))
+    for j in range(len(layout.perm_columns)):
+        sig_j = jnp.asarray(layout.sigma[j])  # [n, 2] int32
+        yield fn(delta_mont, omega_pows, sig_j)
 
 
 def keygen(ctx: Context, k: int, srs: SRS | None = None,
@@ -180,10 +183,13 @@ def _keygen_impl(ctx: Context, k: int, srs: SRS | None = None) -> ProvingKey:
     fixed_coeffs = {}
     ops = bn254_ops()
 
+    from .poly_device import pack_poly
+
     def ingest(name, dev_evals):
         c = commit_evals(srs.g1_lagrange, mont_to_canonical(dev_evals))
         commitments[name] = ops.to_affine_host(c)[0]
-        fixed_coeffs[name] = evals_to_coeffs(dev_evals, k)
+        # uint16 at-rest form: halves pk HBM (see poly_device.pack_poly)
+        fixed_coeffs[name] = pack_poly(evals_to_coeffs(dev_evals, k))
 
     for name, v in fixed_host.items():
         ingest(name, to_device_poly(v))
@@ -221,24 +227,16 @@ def rebind_witness(pk: ProvingKey, ctx: Context) -> ProvingKey:
     old = pk.layout
     assert len(ctx.advice) == old.cell_map.shape[0], "witness shape mismatch"
     assert len(ctx.gate_offsets) == sum(
-        sum(1 for v in q if v) for q in old.q_cols
-    ), "gate structure mismatch"
+        int(q.sum()) for q in old.q_cols), "gate structure mismatch"
+    assert len(ctx.lookups) == len(old.lookup_idx), "lookup structure mismatch"
     layout = copy.copy(old)
-    n, usable = old.n, old.usable
-    bounds = old.col_starts + [len(ctx.advice)]
-    layout.advice_cols = [
-        ctx.advice[bounds[c] : bounds[c + 1]]
-        + [0] * (n - (bounds[c + 1] - bounds[c]))
-        for c in range(old.n_advice)
-    ]
-    layout.lookup_cols = []
-    for c in range(old.n_lookup):
-        chunk = ctx.lookups[c * usable : (c + 1) * usable]
-        layout.lookup_cols.append(
-            [ctx.advice[i] for i in chunk] + [0] * (n - len(chunk)))
+    n = old.n
+    layout.advice_limbs = ctx.advice.limbs()
+    layout.lookup_idx = ctx.lookups.array()
     from .keygen import _multiplicity_counts
 
-    layout.multiplicity = _multiplicity_counts(layout.lookup_cols, n)
+    layout.multiplicity = _multiplicity_counts(
+        layout.advice_limbs, layout.lookup_idx, old.n_lookup, n)
     layout.instance_col = ([c.value for c in ctx.instance]
                            + [0] * (n - len(ctx.instance)))
     return ProvingKey(vk=pk.vk, layout=layout, srs=pk.srs,
@@ -290,35 +288,54 @@ def _prove_impl(pk: ProvingKey, instances: list[int]) -> bytes:
         tr.absorb_scalar(v)  # binds instances into Fiat-Shamir (not written)
 
     # -- round 1: blind + commit witness columns ----------------------------
-    advice_cols = [
-        col[:usable] + [secrets.randbelow(P) for _ in range(n - usable)]
-        for col in layout.advice_cols
-    ]
-    if layout.n_lookup:
-        tb = 1 << layout.lookup_bits
-        mult = list(layout.multiplicity)
-        lookup_cols = []
-        for col in layout.lookup_cols:
-            tail = [secrets.randbelow(tb) for _ in range(n - usable)]
-            for v in tail:
-                mult[v] += 1
-            mult[0] -= n - usable  # the zero padding rows tail replaces
-            lookup_cols.append(col[:usable] + tail)
-    else:
-        mult = layout.multiplicity
-        lookup_cols = []
+    from ..fields.common import ints_to_limbs_fast
 
-    advice_dev = [to_device_poly(c) for c in advice_cols]
-    lookup_dev = [to_device_poly(c) for c in lookup_cols]
-    m_dev = to_device_poly(mult)
-    inst_dev = to_device_poly(layout.instance_col)
+    def _blind_tail(col16):
+        """Replace the ZK_ROWS tail of an (n,16) limb column with fresh
+        randomness (fresh array each call; accessors return copies)."""
+        tail = [secrets.randbelow(P) for _ in range(n - usable)]
+        col16[usable:] = ints_to_limbs_fast(tail).astype(np.uint16)
+        return col16, tail
 
     def commit(dev):
         return ops.to_affine_host(
             commit_evals(pk.srs.g1_lagrange, mont_to_canonical(dev)))[0]
 
-    for dev in advice_dev:
-        tr.write_point(commit(dev))
+    from .poly_device import pack_poly
+
+    # Advice evals are TRANSIENT: blind, upload, commit, iNTT to packed
+    # coefficients, free -- never more than one advice eval buffer lives
+    # at a time (47 resident eval columns were ~6GB at wrapper width).
+    coeffs = {}
+    for c in range(layout.n_advice):
+        col, _ = _blind_tail(layout.advice_col(c))
+        d = to_device_poly(col)
+        tr.write_point(commit(d))
+        coeffs[f"advice_{c}"] = pack_poly(evals_to_coeffs(d, k))
+        del d
+
+    if layout.n_lookup:
+        tb = 1 << layout.lookup_bits
+        mult = list(layout.multiplicity)
+        lookup_cols = []
+        for c in range(layout.n_lookup):
+            col = layout.lookup_col(c)
+            tail = [secrets.randbelow(tb) for _ in range(n - usable)]
+            for v in tail:
+                mult[v] += 1
+            mult[0] -= n - usable  # the zero padding rows tail replaces
+            col[usable:] = ints_to_limbs_fast(tail).astype(np.uint16)
+            lookup_cols.append(col)
+    else:
+        mult = layout.multiplicity
+        lookup_cols = []
+
+    # lookup evals stay resident through rounds 1-2 (h + the permutation
+    # needs them; n_lookup <= 6 bounds this at ~0.8GB)
+    lookup_dev = [to_device_poly(c) for c in lookup_cols]
+    m_dev = to_device_poly(mult)
+    inst_dev = to_device_poly(layout.instance_col)
+
     for dev in lookup_dev:
         tr.write_point(commit(dev))
     tr.write_point(commit(m_dev))
@@ -342,21 +359,23 @@ def _prove_impl(pk: ProvingKey, instances: list[int]) -> bytes:
         h_dev = jnp.zeros((n, 16), jnp.uint32)
         h_closure = None
     del table_ev
-    cols_dev = []
-    for kind, c in layout.perm_columns:
+
+    def col_loader(j):
+        """Evaluation form of permutation column j, regenerated on demand
+        (advice evals were freed after round 1; one forward NTT each)."""
+        kind, c = layout.perm_columns[j]
         if kind == "advice":
-            cols_dev.append(advice_dev[c])
-        elif kind == "lookup":
-            cols_dev.append(lookup_dev[c])
-        elif kind == "const":
-            cols_dev.append(const_ev)
-        else:
-            cols_dev.append(inst_dev)
+            return coeffs_to_evals(coeffs[f"advice_{c}"], k)
+        if kind == "lookup":
+            return lookup_dev[c]
+        if kind == "const":
+            return const_ev
+        return inst_dev
+
     z_devs, z_closure = compute_z_dev(
-        layout, cols_dev,
+        layout, col_loader,
         lambda j: coeffs_to_evals(pk.fixed_coeffs[f"sigma_{j}"], k),
         beta, gamma)
-    del cols_dev, const_ev
     # blind Z: rows (usable, n) are unconstrained (the permutation terms
     # are active-masked; l_0/l_u pin rows 0 and usable only)
     from ..fields.common import ints_to_limbs
@@ -375,27 +394,22 @@ def _prove_impl(pk: ProvingKey, instances: list[int]) -> bytes:
                           np.asarray(FR.one)), \
         "chained permutation product does not close"
     tr.write_point(commit(h_dev))
-    for zd in z_devs:
-        tr.write_point(commit(zd))
+    # commit each z and immediately convert to packed coefficients
+    for c in range(len(z_devs)):
+        tr.write_point(commit(z_devs[c]))
+        coeffs[f"z_{c}"] = pack_poly(evals_to_coeffs(z_devs[c], k))
+        z_devs[c] = None
+    del z_devs, const_ev
 
     y = tr.challenge()
 
-    # -- convert the witness columns to coefficient form ----------------------
-    # (the prover's at-rest representation from here on; evaluation-form
-    # buffers are freed as they convert, halving peak HBM at wrapper scale)
-    coeffs = {}
-    for i, d in enumerate(advice_dev):
-        coeffs[f"advice_{i}"] = evals_to_coeffs(d, k)
-    del advice_dev
+    # -- convert the remaining witness columns to coefficient form ------------
     for i, d in enumerate(lookup_dev):
-        coeffs[f"lookup_{i}"] = evals_to_coeffs(d, k)
+        coeffs[f"lookup_{i}"] = pack_poly(evals_to_coeffs(d, k))
     del lookup_dev
-    for c, d in enumerate(z_devs):
-        coeffs[f"z_{c}"] = evals_to_coeffs(d, k)
-    del z_devs
-    coeffs["m"] = evals_to_coeffs(m_dev, k)
-    coeffs["h"] = evals_to_coeffs(h_dev, k)
-    coeffs["instance"] = evals_to_coeffs(inst_dev, k)
+    coeffs["m"] = pack_poly(evals_to_coeffs(m_dev, k))
+    coeffs["h"] = pack_poly(evals_to_coeffs(h_dev, k))
+    coeffs["instance"] = pack_poly(evals_to_coeffs(inst_dev, k))
     del m_dev, h_dev, inst_dev
     coeffs.update(pk.fixed_coeffs)
 
@@ -416,9 +430,13 @@ def _prove_impl(pk: ProvingKey, instances: list[int]) -> bytes:
     # combined quotient: t = sum_i xn^i t_i (the only t poly opened; its
     # eval is derived by the verifier, see _query_plan)
     xn = pow(x, n, P)
-    all_coeffs["t"] = rlc_list(
+    from .poly_device import pack_poly as _pp
+
+    # packed like every other at-rest poly (uniform dtype signatures for
+    # the round-4/5 list kernels)
+    all_coeffs["t"] = _pp(rlc_list(
         t_chunk_coeffs,
-        [pow(xn, i, P) for i in range(len(t_chunk_coeffs))], k)
+        [pow(xn, i, P) for i in range(len(t_chunk_coeffs))], k))
     del t_chunk_coeffs
 
     stacked_names = sorted(all_coeffs.keys())
@@ -510,17 +528,30 @@ def _query_plan(vk: VerifyingKey, n_t_chunks: int):
     return q
 
 
+def _col_ints(col) -> list[int]:
+    """Host-oracle column accessor: (n,16) uint16 limb rows or a plain
+    int list -> list of python ints (tiny-k test oracles only)."""
+    import numpy as np
+
+    if isinstance(col, np.ndarray) and col.ndim == 2:
+        from ..trace.context import u16_rows_to_ints
+
+        return u16_rows_to_ints(col)
+    return [int(v) for v in col]
+
+
 def _compute_h(layout: Layout, beta_lk: int) -> list[int]:
     """logUp helper: h[i+1] = h[i] + sum_j 1/(b+L_j[i]) - m[i]/(b+T[i])."""
     n = layout.n
     denoms = []
-    for col in layout.lookup_cols:
-        denoms.extend((beta_lk + v) % P for v in col)
+    for c in range(layout.n_lookup):
+        denoms.extend((beta_lk + v) % P
+                      for v in _col_ints(layout.lookup_col(c)))
     denoms.extend((beta_lk + t) % P for t in layout.table_col)
     invs = _batch_inv(denoms)
     pos = 0
     l_invs = []
-    for _ in layout.lookup_cols:
+    for _ in range(layout.n_lookup):
         l_invs.append(invs[pos : pos + n])
         pos += n
     t_invs = invs[pos : pos + n]
@@ -584,11 +615,11 @@ def _perm_value_columns(layout: Layout) -> list[list[int]]:
     out = []
     for kind, c in layout.perm_columns:
         if kind == "advice":
-            out.append(layout.advice_cols[c])
+            out.append(_col_ints(layout.advice_col(c)))
         elif kind == "lookup":
-            out.append(layout.lookup_cols[c])
+            out.append(_col_ints(layout.lookup_col(c)))
         elif kind == "const":
-            out.append(layout.const_col)
+            out.append(_col_ints(layout.const_col))
         else:
             out.append(layout.instance_col)
     return out
@@ -621,11 +652,15 @@ def _coset_scalars(k: int, e_log: int, j: int, usable: int):
 
 def _quotient(pk: ProvingKey, coeffs: dict, beta_lk, beta, gamma, y):
     """Quotient t = (constraint combination) / zh on the extended coset
-    domain, STREAMED one coset at a time (halo2's coeff_to_extended
-    evaluates all E cosets at once; at wrapper scale that stack is
-    E * sum-of-polys ~ 60+ GB, so here each coset's evaluations live
-    only while its kernel runs).  Takes/returns COEFFICIENT form:
-    coeffs dict in, list of E t-chunk coefficient tensors out."""
+    domain, STREAMED one coset at a time AND one constraint term at a
+    time (halo2's coeff_to_extended evaluates all E cosets of all polys
+    at once; even one coset's full eval set is ~19GB at wrapper width,
+    so each term kernel re-derives just the coset evals it consumes and
+    Horner-accumulates into a single donated [n,16] buffer).  The term
+    ORDER is exactly the old monolithic kernel's (gates, logUp,
+    permutation chunks, boundary terms), so proofs are byte-identical
+    and the frozen protocol vectors still verify.  Takes/returns
+    COEFFICIENT form: coeffs dict in, list of E t-chunk tensors out."""
     from ..poly.domain import domain
     from .poly_device import coset_evals, pow_series
 
@@ -635,22 +670,61 @@ def _quotient(pk: ProvingKey, coeffs: dict, beta_lk, beta, gamma, y):
     E = 1 << e_log
     dome = domain(k + e_log)
     g = FR.generator
+    chunks = _perm_chunks(vk.n_perm)
+    n_z = len(chunks)
+    perm_names = ([f"advice_{c}" for c in range(vk.n_advice)]
+                  + [f"lookup_{c}" for c in range(vk.n_lookup)]
+                  + ["const", "instance"])
 
-    names = tuple(sorted(coeffs.keys()))
-    fn = _quotient_kernel(k, vk.n_advice, vk.n_lookup, vk.n_perm,
-                          vk.usable, tuple(vk.deltas), names)
-    consts = [jnp.asarray(FR.const(c)) for c in (beta_lk, beta, gamma, y)]
+    from ..fields.common import ints_to_limbs
+
+    blk_c, beta_c, gamma_c, y_c = (
+        jnp.asarray(FR.const(v)) for v in (beta_lk, beta, gamma, y))
 
     omega_pows = pow_series(domain(k).omega, n)
     t_cosets = []
     for j in range(E):
         s = g * pow(dome.omega, j, P) % P
         s_pows = pow_series(s, n)  # cached: s depends only on (k, e_log, j)
-        ev = [coset_evals(coeffs[nm], s_pows, k) for nm in names]
-        scal = [jnp.asarray(v) for v in
-                _coset_scalars(k, e_log, j, vk.usable)]
-        t_cosets.append(fn(ev, omega_pows, *scal, *consts))
-        del ev
+        s_m, zh_m, zhinv_m, wu_m = (
+            jnp.asarray(v) for v in _coset_scalars(k, e_log, j, vk.usable))
+        x_dev, l0_dev, lu_dev = _coset_tables_fn(k)(omega_pows, s_m, zh_m,
+                                                    wu_m)
+
+        def ev(nm):
+            return coset_evals(coeffs[nm], s_pows, k)
+
+        total = jnp.zeros((n, 16), jnp.uint32)
+        # gates: q_c * (a + rot1(a)*rot2(a) - rot3(a))
+        for c in range(vk.n_advice):
+            total = _gate_term_fn(k)(total, ev(f"advice_{c}"),
+                                     ev(f"q_{c}"), y_c)
+        # logUp
+        if vk.n_lookup:
+            total = _logup_term_fn(k, vk.n_lookup)(
+                total, ev("h"), ev("m"), ev("table"),
+                [ev(f"lookup_{c}") for c in range(vk.n_lookup)], blk_c, y_c)
+        # permutation chunks: active * (z_c(wX) prod den - z_c(X) prod num)
+        active_ev = ev("active")
+        for c, chunk in enumerate(chunks):
+            djs = jnp.asarray(ints_to_limbs(
+                [vk.deltas[jj] * FR.R % P for jj in chunk]))
+            total = _perm_term_fn(k, len(chunk))(
+                total, ev(f"z_{c}"), x_dev, active_ev,
+                [ev(perm_names[jj]) for jj in chunk],
+                [ev(f"sigma_{jj}") for jj in chunk], djs, beta_c, gamma_c,
+                y_c)
+        del active_ev
+        # boundary terms: l_0*(z_0 - 1), chaining, l_u*(z_last - 1)
+        prev_z = ev("z_0")
+        total = _lagrange_z_term_fn(k, 0)(total, prev_z, l0_dev, y_c)
+        for c in range(1, n_z):
+            cur_z = ev(f"z_{c}")
+            total = _chain_term_fn(k, vk.usable)(total, cur_z, prev_z,
+                                                 l0_dev, y_c)
+            prev_z = cur_z
+        total = _lagrange_z_term_fn(k, 1)(total, prev_z, lu_dev, y_c)
+        t_cosets.append(_zhinv_scale_fn(k)(total, zhinv_m))
 
     # interleave: ext-domain natural index i = m*E + j <-> coset j, row m
     t_ext = jnp.stack(t_cosets, axis=1).reshape(n * E, 16)
@@ -659,32 +733,26 @@ def _quotient(pk: ProvingKey, coeffs: dict, beta_lk, beta, gamma, y):
     return [tc[i * n : (i + 1) * n] for i in range(E)]
 
 
-@functools.lru_cache(maxsize=16)
-def _quotient_kernel(k, n_advice, n_lookup, n_perm, usable, deltas,
-                     names):
-    """One extension coset's constraint evaluation: list of per-poly
-    coset evals [n,16] -> t values on that coset [n,16].  A rotation by
-    r rows of the base domain is a roll by r within the coset (full-
-    domain index i = m*E + j: +E*r steps keeps j, advances m by r)."""
-    idx = {nm: i for i, nm in enumerate(names)}
-    one_np = np.asarray(FR.one)
-    chunks = _perm_chunks(n_perm)
-    n_z = len(chunks)
-    perm_names = ([f"advice_{c}" for c in range(n_advice)]
-                  + [f"lookup_{c}" for c in range(n_lookup)]
-                  + ["const", "instance"])
+# Streamed quotient term kernels.  Each takes the running Horner
+# accumulator `total` (donated: updated in place) and returns
+# total*y + term; a rotation by r base-domain rows is a roll by r within
+# a coset (full-domain index i = m*E + j: +E*r keeps j, advances m by r).
 
-    def rot(a, r):
-        return jnp.roll(a, -r, axis=0)
+def _rot(a, r):
+    return jnp.roll(a, -r, axis=0)
 
+
+@functools.cache
+def _coset_tables_fn(k: int):
+    """(omega_pows, s, zh, wu) -> (x, l0, lu) tables for one coset."""
     n = 1 << k
+    one_np = np.asarray(FR.one)
+    n_mont_np = FR.const_np(n)
 
-    def f(polys, omega_pows, s, zh, zhinv_dev, wu, blk, beta, gamma, y):
-        # per-coset tables derived in-kernel (see _coset_scalars): one
-        # mul for x, one fused batch inversion for l0/lu denominators
+    def f(omega_pows, s, zh, wu):
         x_dev = FR.mul(omega_pows, s[None, :])
         one_t = jnp.broadcast_to(jnp.asarray(one_np), (n, 16))
-        n_mont = jnp.asarray(FR.const_np(n))[None, :]
+        n_mont = jnp.asarray(n_mont_np)[None, :]
         den = jnp.concatenate([
             FR.mul(n_mont, FR.sub(x_dev, one_t)),
             FR.mul(n_mont, FR.sub(x_dev, jnp.broadcast_to(wu, (n, 16)))),
@@ -692,79 +760,95 @@ def _quotient_kernel(k, n_advice, n_lookup, n_perm, usable, deltas,
         inv = FR.batch_inv(den)
         l0_dev = FR.mul(zh[None, :], inv[:n])
         lu_dev = FR.mul(FR.mul(zh[None, :], inv[n:]), wu[None, :])
-        def get(nm):
-            return polys[idx[nm]]
+        return x_dev, l0_dev, lu_dev
 
-        total = None
+    return jax.jit(f)
 
-        def acc(term):
-            nonlocal total
-            total = term if total is None else FR.add(FR.mul(total, y), term)
 
-        # gates
-        for c in range(n_advice):
-            a = get(f"advice_{c}")
-            expr = FR.sub(FR.add(a, FR.mul(rot(a, 1), rot(a, 2))), rot(a, 3))
-            acc(FR.mul(get(f"q_{c}"), expr))
+@functools.cache
+def _gate_term_fn(k: int):
+    def f(total, a, q, y):
+        expr = FR.sub(FR.add(a, FR.mul(_rot(a, 1), _rot(a, 2))), _rot(a, 3))
+        return FR.add(FR.mul(total, y[None, :]), FR.mul(q, expr))
 
-        # logUp
-        if n_lookup > 0:
-            T = FR.add(get("table"), blk[None, :])
-            Ls = [FR.add(get(f"lookup_{c}"), blk[None, :])
-                  for c in range(n_lookup)]
-            prod_all = Ls[0]
-            for l in Ls[1:]:
-                prod_all = FR.mul(prod_all, l)
-            dh = FR.sub(rot(get("h"), 1), get("h"))
-            term = FR.mul(FR.mul(dh, prod_all), T)
-            for j in range(n_lookup):
-                others = None
-                for j2 in range(n_lookup):
-                    if j2 == j:
-                        continue
-                    others = Ls[j2] if others is None else FR.mul(others, Ls[j2])
-                part = T if others is None else FR.mul(others, T)
-                term = FR.sub(term, part)
-            term = FR.add(term, FR.mul(get("m"), prod_all))
-            acc(term)
+    return jax.jit(f, donate_argnums=(0,))
 
-        # permutation chunks: active * (z_c(wX) prod den - z_c(X) prod num)
-        for c, chunk in enumerate(chunks):
-            znum = rot(get(f"z_{c}"), 1)
-            zden = get(f"z_{c}")
-            num = None
-            den = None
-            for j in chunk:
-                vj = get(perm_names[j])
-                dj = jnp.asarray(FR.const_np(deltas[j]))
-                lhs = FR.add(
-                    FR.add(vj, FR.mul(FR.mul(beta[None, :], dj[None, :]), x_dev)),
-                    gamma[None, :])
-                rhs = FR.add(FR.add(vj, FR.mul(beta[None, :], get(f"sigma_{j}"))),
-                             gamma[None, :])
-                num = lhs if num is None else FR.mul(num, lhs)
-                den = rhs if den is None else FR.mul(den, rhs)
-            acc(FR.mul(get("active"),
-                       FR.sub(FR.mul(znum, den), FR.mul(zden, num))))
 
+@functools.cache
+def _logup_term_fn(k: int, n_lookup: int):
+    def f(total, h, m, table, Ls, blk, y):
+        T = FR.add(table, blk[None, :])
+        Ls = [FR.add(l, blk[None, :]) for l in Ls]
+        prod_all = Ls[0]
+        for l in Ls[1:]:
+            prod_all = FR.mul(prod_all, l)
+        dh = FR.sub(_rot(h, 1), h)
+        term = FR.mul(FR.mul(dh, prod_all), T)
+        for j in range(n_lookup):
+            others = None
+            for j2 in range(n_lookup):
+                if j2 == j:
+                    continue
+                others = Ls[j2] if others is None else FR.mul(others, Ls[j2])
+            part = T if others is None else FR.mul(others, T)
+            term = FR.sub(term, part)
+        term = FR.add(term, FR.mul(m, prod_all))
+        return FR.add(FR.mul(total, y[None, :]), term)
+
+    return jax.jit(f, donate_argnums=(0,))
+
+
+@functools.cache
+def _perm_term_fn(k: int, csize: int):
+    def f(total, z, x_dev, active, vjs, sgs, djs, beta, gamma, y):
+        znum = _rot(z, 1)
+        num = None
+        den = None
+        for i in range(csize):
+            vj = vjs[i]
+            lhs = FR.add(
+                FR.add(vj, FR.mul(FR.mul(beta[None, :], djs[i][None, :]),
+                                  x_dev)),
+                gamma[None, :])
+            rhs = FR.add(FR.add(vj, FR.mul(beta[None, :], sgs[i])),
+                         gamma[None, :])
+            num = lhs if num is None else FR.mul(num, lhs)
+            den = rhs if den is None else FR.mul(den, rhs)
+        term = FR.mul(active,
+                      FR.sub(FR.mul(znum, den), FR.mul(z, num)))
+        return FR.add(FR.mul(total, y[None, :]), term)
+
+    return jax.jit(f, donate_argnums=(0,))
+
+
+@functools.cache
+def _lagrange_z_term_fn(k: int, _variant: int):
+    """l * (z - 1): variant 0 = l_0 on z_0, variant 1 = l_u on z_last
+    (same math; the variant tag keeps two donated-buffer programs)."""
+    one_np = np.asarray(FR.one)
+
+    def f(total, z, l_dev, y):
         one = jnp.asarray(one_np)
+        term = FR.mul(l_dev, FR.sub(z, jnp.broadcast_to(one, z.shape)))
+        return FR.add(FR.mul(total, y[None, :]), term)
 
-        # l_0 * (z_0 - 1)
-        z0 = get("z_0")
-        acc(FR.mul(l0_dev, FR.sub(z0, jnp.broadcast_to(one, z0.shape))))
-        # chaining: l_0 * (z_c - z_{c-1}(w^u X))
-        for c in range(1, n_z):
-            prev_rot = rot(get(f"z_{c-1}"), usable)
-            acc(FR.mul(l0_dev, FR.sub(get(f"z_{c}"), prev_rot)))
-        # closure: l_u * (z_last - 1)
-        zl = get(f"z_{n_z-1}")
-        acc(FR.mul(lu_dev, FR.sub(zl, jnp.broadcast_to(one, zl.shape))))
+    return jax.jit(f, donate_argnums=(0,))
 
-        return FR.mul(total, jnp.broadcast_to(zhinv_dev, total.shape))
 
-    # donate the coset evals: they are single-use (freed right after the
-    # call), and donation lets XLA release each poly's buffer at its last
-    # read -- at wrapper scale the evals list alone is ~5GB/coset
+@functools.cache
+def _chain_term_fn(k: int, usable: int):
+    def f(total, z_cur, z_prev, l0_dev, y):
+        term = FR.mul(l0_dev, FR.sub(z_cur, _rot(z_prev, usable)))
+        return FR.add(FR.mul(total, y[None, :]), term)
+
+    return jax.jit(f, donate_argnums=(0,))
+
+
+@functools.cache
+def _zhinv_scale_fn(k: int):
+    def f(total, zhinv):
+        return FR.mul(total, jnp.broadcast_to(zhinv, total.shape))
+
     return jax.jit(f, donate_argnums=(0,))
 
 

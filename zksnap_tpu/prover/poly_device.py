@@ -100,6 +100,30 @@ def pow_series(base_int: int, n: int):
     return arr[:n]
 
 
+# -- uint16 at-rest packing ---------------------------------------------------
+#
+# Montgomery limb tensors are 16 limbs of 16-bit values carried in uint32
+# lanes; every field op carry-propagates to canonical limbs, so the at-rest
+# form can drop to uint16 losslessly.  At wrapper scale (k=21, ~140 resident
+# polynomials) this halves pk+witness HBM from ~19GB to ~9.5GB -- the
+# difference between fitting one v5e chip and not.  `_u32` at jitted-fn
+# entries re-widens (XLA fuses the convert into the first consumer).
+
+@functools.cache
+def _pack_fn():
+    return jax.jit(lambda x: x.astype(jnp.uint16))
+
+
+def pack_poly(x):
+    """[n,16] uint32 Montgomery -> uint16 at-rest form (lossless)."""
+    return _pack_fn()(x) if x.dtype != jnp.uint16 else x
+
+
+def _u32(x):
+    """Widen an at-rest (possibly uint16) limb tensor for compute."""
+    return x.astype(jnp.uint32) if x.dtype == jnp.uint16 else x
+
+
 @functools.lru_cache(maxsize=8)
 def _to_mont_fn(n: int):
     r2 = FR.const_np(FR.R)  # R^2 in "Montgomery form of R" = R*R mod p
@@ -110,16 +134,31 @@ def _to_mont_fn(n: int):
     return jax.jit(f)
 
 
-def to_device_poly(values: list[int]):
-    """Host python-int evaluations -> device Montgomery limb tensor [n, 16].
+def to_device_poly(values):
+    """Host evaluations -> device Montgomery limb tensor [n, 16].
 
-    Conversion cost: one `to_bytes` per int host-side (vectorized blit),
-    then a single device mul by R^2 does the Montgomery lift.
+    Accepts a list of python ints (one `to_bytes` blit each), an
+    (n, 16) uint16 canonical limb-row array (the trace builder / layout
+    representation -- zero-copy widen), or a 1-D array of small
+    non-negative ints (< 2^64: selectors, multiplicities, tables).
+    A single device mul by R^2 does the Montgomery lift.
     """
+    import numpy as np
+
     from ..fields.common import ints_to_limbs_fast
 
-    canon = ints_to_limbs_fast(values, FR.p)
-    return _to_mont_fn(len(values))(jnp.asarray(canon))
+    if isinstance(values, np.ndarray):
+        if values.ndim == 2:
+            assert values.shape[1] == 16
+            canon = values.astype(np.uint32)
+        else:
+            v = values.astype(np.int64)
+            canon = np.zeros((len(v), 16), dtype=np.uint32)
+            for limb in range(4):
+                canon[:, limb] = (v >> (16 * limb)) & 0xFFFF
+    else:
+        canon = ints_to_limbs_fast(values, FR.p)
+    return _to_mont_fn(canon.shape[0])(jnp.asarray(canon))
 
 
 # -- KZG commitments ---------------------------------------------------------
@@ -230,7 +269,7 @@ def mont_to_canonical(values):
 
 @functools.lru_cache(maxsize=64)
 def _mont_to_canon_jit(shape):
-    return jax.jit(FR.mont_reduce_narrow)
+    return jax.jit(lambda x: FR.mont_reduce_narrow(_u32(x)))
 
 
 # -- coset extended evaluation ----------------------------------------------
@@ -313,7 +352,7 @@ def _fwd_ntt_fn(k: int):
     dom = domain(k)
 
     def f(coeffs, tw):
-        return _ntt_impl(coeffs, tw, k, FR)
+        return _ntt_impl(_u32(coeffs), tw, k, FR)
 
     jf = jax.jit(f)
     return lambda coeffs: jf(coeffs, dom.twiddles)
@@ -325,7 +364,7 @@ def _inv_ntt_fn(k: int):
     n_inv = FR.const_np(pow(1 << k, -1, FR.p))
 
     def f(evals, tw_inv):
-        c = _ntt_impl(evals, tw_inv, k, FR)
+        c = _ntt_impl(_u32(evals), tw_inv, k, FR)
         return FR.mul(c, jnp.asarray(n_inv)[None, :])
 
     jf = jax.jit(f)
@@ -357,7 +396,7 @@ def _four_step_natural(x, k: int, sh, inverse: bool):
 
     mesh, axis = sh
     inp, outp = _four_step_perms(k, mesh.shape[axis])
-    y = four_step_ntt(x[inp], k, mesh, axis, inverse=inverse)
+    y = four_step_ntt(_u32(x)[inp], k, mesh, axis, inverse=inverse)
     return y[outp]
 
 
@@ -369,7 +408,7 @@ def _scale_n_inv_fn(k: int):
 
 @functools.cache
 def _mul_pair_fn():
-    return jax.jit(FR.mul)
+    return jax.jit(lambda a, b: FR.mul(_u32(a), _u32(b)))
 
 
 @functools.cache
@@ -381,7 +420,7 @@ def _coset_evals_fn(k: int):
     n = 1 << k
 
     def f(coeffs, s_pows, tw):
-        return _ntt_impl(FR.mul(coeffs, s_pows), tw, k, FR)
+        return _ntt_impl(FR.mul(_u32(coeffs), s_pows), tw, k, FR)
 
     jf = jax.jit(f)
     return lambda coeffs, s_pows: jf(coeffs, s_pows, dom.twiddles)
@@ -442,7 +481,7 @@ def _eval_coeffs_list_fn(k: int, n_polys: int):
 
     if k <= 14:
         def f(polys, pw):
-            acc = FR.mul(jnp.stack(polys), pw[None])
+            acc = FR.mul(jnp.stack([_u32(c) for c in polys]), pw[None])
             m = n
             while m > 1:
                 acc = FR.add(acc[:, : m // 2], acc[:, m // 2 : m])
@@ -454,7 +493,7 @@ def _eval_coeffs_list_fn(k: int, n_polys: int):
     def f(polys, pw):
         outs = []
         for c in polys:
-            acc = FR.mul(c, pw)
+            acc = FR.mul(_u32(c), pw)
             m = n
             while m > 1:
                 acc = FR.add(acc[: m // 2], acc[m // 2 : m])
@@ -576,7 +615,8 @@ def _rlc_list_fn(n_polys: int, k: int):
     if k <= 14:
         # stacked form: one mul + log-tree of adds (small traced graph)
         def f(polys, coefs):
-            prods = FR.mul(jnp.stack(polys), jnp.stack(coefs)[:, None, :])
+            prods = FR.mul(jnp.stack([_u32(p_) for p_ in polys]),
+                           jnp.stack(coefs)[:, None, :])
             m = len(polys)
             acc = prods
             while m > 1:
@@ -589,9 +629,9 @@ def _rlc_list_fn(n_polys: int, k: int):
         return jax.jit(f)
 
     def f(polys, coefs):
-        acc = FR.mul(polys[0], coefs[0][None, :])
+        acc = FR.mul(_u32(polys[0]), coefs[0][None, :])
         for i in range(1, len(polys)):
-            acc = FR.add(acc, FR.mul(polys[i], coefs[i][None, :]))
+            acc = FR.add(acc, FR.mul(_u32(polys[i]), coefs[i][None, :]))
         return acc
 
     return jax.jit(f)

@@ -26,17 +26,28 @@ def proof_from_bytes(data: bytes) -> bytes:
     return bytes(data)
 
 
-def save_pk(pk, path: str):
+def save_pk(pk, path: str, strip_witness: bool = False):
     """Checkpoint a proving key (trusted local cache, like the reference's
-    RawBytesUnchecked pk files).  Device arrays are pulled to host."""
+    RawBytesUnchecked pk files).  Device arrays are pulled to host.
+
+    strip_witness=True drops the layout's witness value buffer (keygen's
+    dummy synthesis values -- ~3GB at wrapper width) from the file; the
+    loaded pk must then be `rebind_witness`-ed before proving, which is
+    how the wrapper driver always uses it (wrapper.rs:945-947 pk reuse)."""
+    import copy
+
     import jax
     import numpy as np
 
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     fixed_host = {k: np.asarray(jax.device_get(v))
                   for k, v in pk.fixed_coeffs.items()}
+    layout = pk.layout
+    if strip_witness:
+        layout = copy.copy(layout)
+        layout.advice_limbs = np.empty((0, 16), np.uint16)
     with open(path, "wb") as f:
-        pickle.dump({"vk": pk.vk, "layout": pk.layout, "fixed_form": "coeff",
+        pickle.dump({"vk": pk.vk, "layout": layout, "fixed_form": "coeff",
                      "fixed": fixed_host, "srs_k": pk.srs.k}, f)
 
 

@@ -72,15 +72,33 @@ def _inv(ctx: Context, a: Cell) -> Cell:
 
 @functools.lru_cache(maxsize=8)
 def _lagrange_points(k: int, count: int) -> tuple:
-    """First `count` Lagrange-basis SRS points as native affine points."""
-    from ..curves.jacobian import JacPoint, bn254_ops
-    from .srs import gen_srs
+    """First `count` Lagrange-basis SRS points as native affine points.
 
-    srs = gen_srs(k)
-    ops = bn254_ops()
-    pts = ops.to_affine_host(JacPoint(
-        srs.g1_lagrange.x[:count], srs.g1_lagrange.y[:count],
-        srs.g1_lagrange.z[:count]))
+    Computed DIRECTLY from the dev-SRS tau (same formula as srs.gen_srs:
+    L_i(tau) = w^i (tau^n - 1) / (n (tau - w^i)), then one native scalar
+    mult per point) -- the former `gen_srs(k)` call regenerated the full
+    2^k SRS to read `count` (~42) points, which sat >40min inside wrapper
+    synthesis at k=21 (VERDICT r4 weak #3).  Matches srs.g1_lagrange
+    exactly for the default dev seed, which is what the in-circuit
+    verifier has always used here."""
+    from ..curves.native import AffinePoint, BN254_G1
+    from ..fields.field import bn254_fr
+    from ..poly.domain import domain
+    from .srs import _tau_from_seed
+
+    F = bn254_fr()
+    n = 1 << k
+    tau = _tau_from_seed(b"dev")
+    omega = domain(k).omega
+    zn = (pow(tau, n, F.p) - 1) % F.p
+    n_inv = pow(n, -1, F.p)
+    g = AffinePoint.generator(BN254_G1)
+    pts = []
+    w = 1
+    for _ in range(count):
+        lag = w * zn % F.p * n_inv % F.p * pow(tau - w, -1, F.p) % F.p
+        pts.append(lag * g)
+        w = w * omega % F.p
     return tuple(pts)
 
 

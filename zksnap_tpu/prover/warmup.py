@@ -36,6 +36,12 @@ def _dummy(n):
     return jnp.ones((n, N_LIMBS), jnp.uint32)
 
 
+def _dummy16(n):
+    """At-rest (packed) poly stand-in: prove-time coefficient tensors are
+    uint16 (poly_device.pack_poly), so warm compiles must match dtype."""
+    return jnp.ones((n, N_LIMBS), jnp.uint16)
+
+
 def _scalar():
     return jnp.asarray(FR.one)
 
@@ -106,7 +112,9 @@ def warm_prove(ctx, k: int, mesh=None, mesh_axis: str = "x",
         x = _dummy(n)
         pd.evals_to_coeffs(x, k)
         pd.coeffs_to_evals(x, k)
-        pd.coset_evals(x, _dummy(n), k)
+        pd.coeffs_to_evals(_dummy16(n), k)      # packed at-rest inputs
+        pd.coset_evals(_dummy16(n), _dummy(n), k)
+        pd._pack_fn()(x)
 
     def w_interp():
         pd.coset_interpolate(_dummy(n * E), k, e_log)
@@ -127,29 +135,43 @@ def warm_prove(ctx, k: int, mesh=None, mesh_axis: str = "x",
                om, _scalar(), _scalar(), _scalar())
 
     def w_quotient():
-        fn = plonk._quotient_kernel(
-            k, layout.n_advice, layout.n_lookup, n_perm, layout.usable,
-            tuple(layout.deltas), tuple(names))
-        consts = [_scalar() for _ in range(4)]
-        fn([_dummy(n) for _ in names], _dummy(n), _scalar(), _scalar(),
-           _scalar(), _scalar(), *consts)
+        y = _scalar()
+        plonk._coset_tables_fn(k)(_dummy(n), y, y, y)
+        t = jnp.zeros((n, N_LIMBS), jnp.uint32)
+        t = plonk._gate_term_fn(k)(t, _dummy(n), _dummy(n), y)
+        if layout.n_lookup:
+            t = plonk._logup_term_fn(k, layout.n_lookup)(
+                t, _dummy(n), _dummy(n), _dummy(n),
+                [_dummy(n)] * layout.n_lookup, y, y)
+        for sz in sorted({min(PERM_CHUNK, n_perm - c0)
+                          for c0 in range(0, n_perm, PERM_CHUNK)}):
+            djs = jnp.ones((sz, N_LIMBS), jnp.uint32)
+            t = plonk._perm_term_fn(k, sz)(
+                t, _dummy(n), _dummy(n), _dummy(n), [_dummy(n)] * sz,
+                [_dummy(n)] * sz, djs, y, y, y)
+        t = plonk._lagrange_z_term_fn(k, 0)(t, _dummy(n), _dummy(n), y)
+        t = plonk._lagrange_z_term_fn(k, 1)(t, _dummy(n), _dummy(n), y)
+        if n_z > 1:
+            t = plonk._chain_term_fn(k, layout.usable)(
+                t, _dummy(n), _dummy(n), _dummy(n), y)
+        plonk._zhinv_scale_fn(k)(t, y)
 
     def w_evals():
         pd._pow_table_traced_fn(k)(_scalar())
         pd._eval_coeffs_list_fn(k, len(names) + 1)(
-            [_dummy(n)] * (len(names) + 1), _dummy(n))
+            [_dummy16(n)] * (len(names) + 1), _dummy(n))
 
     def w_rlc():
         pd.rlc_list([_dummy(n)] * E, list(range(1, E + 1)), k)
         for pt_names in by_point.values():
-            pd.rlc_list([_dummy(n)] * len(pt_names),
+            pd.rlc_list([_dummy16(n)] * len(pt_names),
                         list(range(1, len(pt_names) + 1)), k)
 
     def w_open():
         pd.opening_witness_evals(_dummy(n), 3, 5, k)
 
     def w_sigma():
-        plonk._sigma_values_dev(layout)
+        next(iter(plonk._sigma_values_dev(layout)))
 
     tasks = [
         ("quotient", w_quotient),

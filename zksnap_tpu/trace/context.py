@@ -8,36 +8,194 @@ thread with the basic gate
     q[i] * (a[i] + a[i+1] * a[i+2] - a[i+3]) == 0
 
 plus copy (permutation) constraints, constants, a range-lookup table and
-instance cells.  This module records the same structure into python lists
-during witness generation (host side); `export()` lowers them to numpy
-column arrays that the constraint checker (trace/checker.py) and the PLONK
-prover (prover/) consume on device.
+instance cells.
 
-Cells are integers indices into one logical advice array; gate ops append
-4-cell windows.  Values are python ints (exact field arithmetic), converted
-to limb tensors only at export.
+Storage is struct-of-arrays (VERDICT r4 item 1): advice values live in a
+growable `(N, 16)` uint16 limb buffer (the 16x16-bit little-endian limb
+layout the device polys use), and gate offsets / copies / constants /
+lookups are growable numpy index arrays.  `Cell` handles are transient
+NamedTuples carrying the exact python-int witness value for host
+arithmetic; they are never stored, so synthesis memory is ~32 bytes/cell
+instead of the ~500 bytes/cell of the former boxed-`Cell` + python-int
+design (97M wrapper cells: ~3GB instead of ~50-100GB).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from typing import NamedTuple
 
 import numpy as np
 
 from ..fields.field import PrimeField, bn254_fr
 
 
-@dataclass(frozen=True)
-class Cell:
-    """Handle to one advice cell (index into the flat advice vector)."""
+class Cell(NamedTuple):
+    """Handle to one advice cell (index into the flat advice vector).
+
+    Transient: Contexts do not retain Cells; the value is the exact
+    witness value as a python int for host-side arithmetic."""
 
     idx: int
-    value: int  # witness value (python int, canonical)
+    value: int
 
 
-@dataclass
 class LookupTable:
-    bits: int  # table contains [0, 2^bits)
+    def __init__(self, bits: int):
+        self.bits = bits  # table contains [0, 2^bits)
+
+
+def u16_rows_to_ints(arr: np.ndarray) -> list[int]:
+    """(m, 16) uint16 little-endian limb rows -> list of python ints."""
+    arr = np.ascontiguousarray(arr, dtype="<u2")
+    b = arr.tobytes()
+    return [int.from_bytes(b[i * 32 : (i + 1) * 32], "little")
+            for i in range(arr.shape[0])]
+
+
+class _LimbStore:
+    """Growable (N, 16) uint16 limb array with python-int append/get.
+
+    Values must be in [0, 2^256).  Appends buffer python ints and flush
+    in blocks via one `to_bytes` blit per value; `limbs()` returns a
+    zero-copy view of the flushed buffer."""
+
+    __slots__ = ("_buf", "_nf", "_pending")
+    FLUSH = 1 << 14
+
+    def __init__(self):
+        self._buf = np.empty((1 << 12, 16), dtype=np.uint16)
+        self._nf = 0          # rows flushed into _buf
+        self._pending: list[int] = []
+
+    def __len__(self) -> int:
+        return self._nf + len(self._pending)
+
+    def append(self, v: int) -> int:
+        """Append; returns the new cell's index."""
+        idx = self._nf + len(self._pending)
+        self._pending.append(v)
+        if len(self._pending) >= self.FLUSH:
+            self._flush()
+        return idx
+
+    def _flush(self):
+        m = len(self._pending)
+        if not m:
+            return
+        need = self._nf + m
+        if need > self._buf.shape[0]:
+            cap = max(need, int(self._buf.shape[0] * 1.5))
+            grown = np.empty((cap, 16), dtype=np.uint16)
+            grown[: self._nf] = self._buf[: self._nf]
+            self._buf = grown
+        blob = b"".join(x.to_bytes(32, "little") for x in self._pending)
+        self._buf[self._nf : need] = np.frombuffer(
+            blob, dtype="<u2").reshape(m, 16)
+        self._nf = need
+        self._pending.clear()
+
+    def limbs(self) -> np.ndarray:
+        """(N, 16) uint16 view of all values (flushes pending first)."""
+        self._flush()
+        return self._buf[: self._nf]
+
+    def __array__(self, dtype=None, copy=None):
+        a = self.limbs()
+        return a.astype(dtype) if dtype is not None else a
+
+    def __getitem__(self, i: int) -> int:
+        n = len(self)
+        if i < 0:
+            i += n
+        if not 0 <= i < n:
+            raise IndexError(i)
+        if i < self._nf:
+            return int.from_bytes(self._buf[i].tobytes(), "little")
+        return self._pending[i - self._nf]
+
+    def __setitem__(self, i: int, v: int):
+        """Overwrite a cell value (negative-path tests tamper witnesses)."""
+        n = len(self)
+        if i < 0:
+            i += n
+        if not 0 <= i < n:
+            raise IndexError(i)
+        if i < self._nf:
+            self._buf[i] = np.frombuffer(v.to_bytes(32, "little"), "<u2")
+        else:
+            self._pending[i - self._nf] = v
+
+
+class _IdxStore:
+    """Growable int64 index vector (gate offsets, lookups, flat copies)."""
+
+    __slots__ = ("_buf", "_nf", "_pending")
+    FLUSH = 1 << 14
+
+    def __init__(self):
+        self._buf = np.empty(1 << 12, dtype=np.int64)
+        self._nf = 0
+        self._pending: list[int] = []
+
+    def __len__(self) -> int:
+        return self._nf + len(self._pending)
+
+    def append(self, v: int):
+        self._pending.append(v)
+        if len(self._pending) >= self.FLUSH:
+            self._flush()
+
+    def _flush(self):
+        m = len(self._pending)
+        if not m:
+            return
+        need = self._nf + m
+        if need > self._buf.shape[0]:
+            cap = max(need, int(self._buf.shape[0] * 1.5))
+            grown = np.empty(cap, dtype=np.int64)
+            grown[: self._nf] = self._buf[: self._nf]
+            self._buf = grown
+        self._buf[self._nf : need] = self._pending
+        self._nf = need
+        self._pending.clear()
+
+    def array(self) -> np.ndarray:
+        self._flush()
+        return self._buf[: self._nf]
+
+    def __array__(self, dtype=None, copy=None):
+        a = self.array()
+        return a.astype(dtype) if dtype is not None else a
+
+    def __getitem__(self, i: int) -> int:
+        return int(self.array()[i])
+
+    def __iter__(self):
+        return iter(self.array())
+
+
+class _PairStore(_IdxStore):
+    """(M, 2) int64 pairs (copy constraints), stored flat."""
+
+    def append2(self, i: int, j: int):
+        self._pending.append(i)
+        self._pending.append(j)
+        if len(self._pending) >= self.FLUSH:
+            self._flush()
+
+    def __len__(self) -> int:
+        return (self._nf + len(self._pending)) // 2
+
+    def pairs(self) -> np.ndarray:
+        self._flush()
+        return self._buf[: self._nf].reshape(-1, 2)
+
+    def __array__(self, dtype=None, copy=None):
+        a = self.pairs()
+        return a.astype(dtype) if dtype is not None else a
+
+    def __iter__(self):
+        return iter(self.pairs())
 
 
 class Context:
@@ -52,11 +210,12 @@ class Context:
         self.F = F or bn254_fr()
         self.p = self.F.p
         self.assert_witness = assert_witness
-        self.advice: list[int] = []          # cell values
-        self.gate_offsets: list[int] = []    # rows where the basic gate is on
-        self.copies: list[tuple[int, int]] = []   # equality constraints
-        self.constants: list[tuple[int, int]] = []  # (cell idx, constant value)
-        self.lookups: list[int] = []         # cell idxs range-checked to lookup_bits
+        self.advice = _LimbStore()           # cell values (limb rows)
+        self.gate_offsets = _IdxStore()      # rows where the basic gate is on
+        self.copies = _PairStore()           # equality constraints
+        self.const_idx = _IdxStore()         # constant-constrained cell idxs
+        self.const_vals = _LimbStore()       # parallel constant values
+        self.lookups = _IdxStore()           # cell idxs range-checked
         self.lookup_bits = lookup_bits
         self.instance: list[Cell] = []       # public input cells
 
@@ -64,15 +223,15 @@ class Context:
 
     def _push(self, v: int) -> Cell:
         v %= self.p
-        self.advice.append(v)
-        return Cell(len(self.advice) - 1, v)
+        return Cell(self.advice.append(v), v)
 
     def load_witness(self, v: int) -> Cell:
         return self._push(v)
 
     def load_constant(self, v: int) -> Cell:
         c = self._push(v)
-        self.constants.append((c.idx, v % self.p))
+        self.const_idx.append(c.idx)
+        self.const_vals.append(c.value)
         return c
 
     def load_zero(self) -> Cell:
@@ -81,7 +240,7 @@ class Context:
     def constrain_equal(self, a: Cell, b: Cell):
         assert not self.assert_witness or a.value == b.value, (
             f"constrain_equal witness mismatch: {a.value} != {b.value}")
-        self.copies.append((a.idx, b.idx))
+        self.copies.append2(a.idx, b.idx)
 
     def expose_public(self, cell: Cell):
         self.instance.append(cell)
@@ -93,19 +252,16 @@ class Context:
               out_val: int) -> Cell:
         """Append a 4-cell gate window; ints are constants (auto-loaded as
         copies of existing cells when Cell, constant-constrained otherwise)."""
-        base = len(self.advice)
-        self.gate_offsets.append(base)
-        cells = []
+        self.gate_offsets.append(len(self.advice))
         for operand in (x, y, z):
-            if isinstance(operand, Cell):
+            if type(operand) is Cell:
                 c = self._push(operand.value)
-                self.copies.append((operand.idx, c.idx))
+                self.copies.append2(operand.idx, c.idx)
             else:
                 c = self._push(operand)
-                self.constants.append((c.idx, operand % self.p))
-            cells.append(c)
-        out = self._push(out_val)
-        return out
+                self.const_idx.append(c.idx)
+                self.const_vals.append(c.value)
+        return self._push(out_val)
 
     # -- arithmetic instructions (halo2-base GateInstructions parity) ------
 
@@ -114,15 +270,15 @@ class Context:
 
     def sub(self, a: Cell, b: Cell) -> Cell:
         # out + b*1 == a  =>  out = a - b ; out sits in the x slot
-        base = len(self.advice)
-        self.gate_offsets.append(base)
+        self.gate_offsets.append(len(self.advice))
         out = self._push(a.value - b.value)
         bb = self._push(b.value)
-        self.copies.append((b.idx, bb.idx))
+        self.copies.append2(b.idx, bb.idx)
         one = self._push(1)
-        self.constants.append((one.idx, 1))
+        self.const_idx.append(one.idx)
+        self.const_vals.append(1)
         aa = self._push(a.value)
-        self.copies.append((a.idx, aa.idx))
+        self.copies.append2(a.idx, aa.idx)
         return out
 
     def mul(self, a: Cell, b: Cell) -> Cell:
@@ -130,7 +286,7 @@ class Context:
 
     def mul_add(self, a: Cell, b: Cell | int, c: Cell) -> Cell:
         """c + a*b"""
-        bval = b.value if isinstance(b, Cell) else b
+        bval = b.value if type(b) is Cell else b
         return self._gate(c, a, b, c.value + a.value * bval)
 
     def neg(self, a: Cell) -> Cell:
@@ -239,7 +395,7 @@ class Context:
             "advice_cells": len(self.advice),
             "gates": len(self.gate_offsets),
             "copies": len(self.copies),
-            "constants": len(self.constants),
+            "constants": len(self.const_idx),
             "lookups": len(self.lookups),
             "instances": len(self.instance),
         }
@@ -247,11 +403,12 @@ class Context:
     def export(self):
         """-> dict of numpy arrays for the checker/prover."""
         return {
-            "advice": self.advice,  # python ints (exact)
-            "gate_offsets": np.asarray(self.gate_offsets, np.int64),
-            "copies": np.asarray(self.copies, np.int64).reshape(-1, 2),
-            "constants": self.constants,
-            "lookups": np.asarray(self.lookups, np.int64),
+            "advice": self.advice.limbs(),           # (N,16) uint16 limbs
+            "gate_offsets": self.gate_offsets.array(),
+            "copies": self.copies.pairs(),
+            "const_idx": self.const_idx.array(),
+            "const_vals": self.const_vals.limbs(),
+            "lookups": self.lookups.array(),
             "lookup_bits": self.lookup_bits,
             "instance": [(c.idx, c.value) for c in self.instance],
         }
