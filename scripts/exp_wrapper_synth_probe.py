@@ -73,16 +73,17 @@ def main():
     from zksnap_tpu.prover.keygen import layout_circuit
     from zksnap_tpu.prover.plonk import PERM_CHUNK, VerifyingKey
 
+    from zksnap_tpu.prover.keygen import quotient_ext_log
+
     def structural_vk(cctx, k):
         layout = layout_circuit(cctx, k)
         n_perm = len(layout.perm_columns)
-        max_deg = max(3, layout.n_lookup + 2, PERM_CHUNK + 2)
         g = AffinePoint.generator(BN254_G1)
         names = ([f"q_{i}" for i in range(layout.n_advice)]
                  + ["const", "table", "active"]
                  + [f"sigma_{j}" for j in range(n_perm)])
         return VerifyingKey(
-            k=k, ext_log=max(2, (max_deg - 1).bit_length()),
+            k=k, ext_log=quotient_ext_log(layout.n_lookup),
             n_advice=layout.n_advice, n_lookup=layout.n_lookup,
             lookup_bits=layout.lookup_bits, n_perm=n_perm,
             n_z=-(-n_perm // PERM_CHUNK), usable=layout.usable,

@@ -28,7 +28,7 @@ def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     toy = "--toy" in sys.argv
     rounds = int(args[0]) if args else 2
-    k_wrap = int(args[1]) if len(args) > 1 else (16 if toy else 21)
+    k_wrap = int(args[1]) if len(args) > 1 else (16 if toy else 22)
 
     import jax
 
@@ -130,8 +130,10 @@ def main():
 
         linkage, n_payload = zksnap_linkage, 28
         msm_trunc = None
-        shape_guess = WrapperShape(n_advice=12, n_lookup=6, n_z=10,
-                                   n_perm=20, ext_log=3)
+        # the measured k=22 fixed point (runs/exp_shape_solve_k22_r5.log):
+        # starting AT it makes the driver's solve a 1-iteration confirm
+        shape_guess = WrapperShape(n_advice=30, n_lookup=3, n_z=18,
+                                   n_perm=35, ext_log=3)
     print(f"children ready: {time.time()-t0:.1f}s", flush=True)
 
     # --- wrapper keygen (fixed point + real commitments) ---------------------

@@ -100,10 +100,11 @@ def _shape_from_counts(k: int, n_cells: int, gate_offsets,
     gates = np.sort(np.asarray(gate_offsets, dtype=np.int64))
     n_advice = len(_advice_col_starts(n_cells, gates, usable))
     n_lookup = max(1, -(-n_lookups // usable)) if n_lookups else 0
+    from ..prover.keygen import quotient_ext_log
+
     n_perm = n_advice + n_lookup + 2
     n_z = -(-n_perm // PERM_CHUNK)
-    max_deg = max(3, n_lookup + 2, PERM_CHUNK + 2)
-    ext_log = max(2, (max_deg - 1).bit_length())
+    ext_log = quotient_ext_log(n_lookup)
     return WrapperShape(n_advice=n_advice, n_lookup=n_lookup, n_z=n_z,
                         n_perm=n_perm, ext_log=ext_log)
 

@@ -38,6 +38,17 @@ from ..trace.context import Context
 FR = bn254_fr()
 ZK_ROWS = 8
 PERM_CHUNK = 2  # columns per permutation grand-product poly (degree 4 constraint)
+
+
+def quotient_ext_log(n_lookup: int) -> int:
+    """Extended-domain log factor for the quotient: the logUp argument of
+    n_lookup columns has degree n_lookup + 2, the chained permutation
+    PERM_CHUNK + 2; E = 2^ext_log must cover max_deg - 1.  Single source
+    of truth for keygen, the wrapper shape solve, warmup and probes
+    (6-column budget = degree 8 = E 8)."""
+    assert n_lookup <= 6, "logUp constraint degree budget"
+    max_deg = max(3, n_lookup + 2, PERM_CHUNK + 2)
+    return max(2, (max_deg - 1).bit_length())
 PERM_COLS_NAME = ("advice", "lookup", "const", "instance")
 
 

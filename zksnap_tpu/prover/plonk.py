@@ -47,7 +47,6 @@ from .poly_device import (
     coeffs_to_evals,
     commit_coeffs,
     commit_evals,
-    coset_interpolate,
     eval_coeffs_list,
     evals_to_coeffs,
     mont_to_canonical,
@@ -145,6 +144,127 @@ def _sigma_values_dev(layout: Layout):
         yield fn(delta_mont, omega_pows, sig_j)
 
 
+class LazyFixedCoeffs:
+    """Dict-like provider computing fixed-column COEFFICIENT tensors on
+    demand instead of keeping them resident.
+
+    At wrapper width the materialized fixed polys (q_i per advice column,
+    sigma_j per permutation column, const/table/active) are the largest
+    at-rest HBM term (~6-9GB even uint16-packed).  Their SOURCES are
+    tiny: q is an (n,) uint8 selector bitmap, sigma an [n_perm, n, 2]
+    int32 permutation array (gathered against cached power tables), the
+    rest host columns -- so each poly is rebuilt in 1-2 device NTTs at
+    its point of use (the streamed quotient already pulls coefficients
+    one name at a time).  `evals(name)` serves evaluation form directly
+    (skips the iNTT for round-2 consumers)."""
+
+    def __init__(self, layout: "Layout", k: int):
+        import numpy as np
+
+        self.k = k
+        self.n = layout.n
+        self.q_cols = [np.asarray(q) for q in layout.q_cols]
+        self.const_col = np.asarray(layout.const_col)
+        self.table_col = list(layout.table_col)
+        self.active_col = list(layout.active_col)
+        self.sigma = np.asarray(layout.sigma)      # host [n_perm, n, 2] int32
+        self.deltas = list(layout.deltas)
+        self._sigma_dev = None
+        self._names = ([f"q_{i}" for i in range(len(self.q_cols))]
+                       + ["const", "table", "active"]
+                       + [f"sigma_{j}" for j in range(len(self.deltas))])
+
+    def keys(self):
+        return list(self._names)
+
+    def __iter__(self):
+        return iter(self._names)
+
+    def __contains__(self, nm):
+        return nm in self._names
+
+    def _sigma_gather(self, j: int):
+        from ..fields.common import ints_to_limbs
+        from ..poly.domain import domain
+        from .poly_device import pow_series
+
+        if self._sigma_dev is None:
+            self._sigma_dev = jnp.asarray(self.sigma)
+        omega_pows = pow_series(domain(self.k).omega, self.n)
+        delta_mont = jnp.asarray(
+            ints_to_limbs([d * FR.R % P for d in self.deltas]))
+        fn = _sigma_gather_fn(self.k)
+        return fn(delta_mont, omega_pows, self._sigma_dev[j])
+
+    def evals(self, nm: str):
+        """Evaluation-form [n,16] Montgomery of a fixed column."""
+        if nm.startswith("sigma_"):
+            return self._sigma_gather(int(nm[6:]))
+        if nm.startswith("q_"):
+            return to_device_poly(self.q_cols[int(nm[2:])])
+        if nm == "const":
+            return to_device_poly(self.const_col)
+        if nm == "table":
+            return to_device_poly(self.table_col)
+        if nm == "active":
+            return to_device_poly(self.active_col)
+        raise KeyError(nm)
+
+    def __getitem__(self, nm: str):
+        return evals_to_coeffs(self.evals(nm), self.k)
+
+    def __getstate__(self):
+        d = dict(self.__dict__)
+        d["_sigma_dev"] = None
+        return d
+
+    def __setstate__(self, d):
+        self.__dict__.update(d)
+
+
+@functools.lru_cache(maxsize=8)
+def _sigma_gather_fn(k: int):
+    n = 1 << k
+    return jax.jit(lambda dm, op, s: FR.mul(
+        jnp.broadcast_to(dm[s[:, 0]], (n, 16)), op[s[:, 1]]))
+
+
+def _fixed_evals(pk: "ProvingKey", nm: str):
+    """Evaluation form of a fixed column (provider shortcut or NTT)."""
+    if isinstance(pk.fixed_coeffs, LazyFixedCoeffs):
+        return pk.fixed_coeffs.evals(nm)
+    return coeffs_to_evals(pk.fixed_coeffs[nm], pk.layout.k)
+
+
+class _ChainCoeffs:
+    """Two-level name->tensor lookup (witness dict over fixed provider);
+    writes go to the first map.  Keeps lazy fixed entries lazy."""
+
+    def __init__(self, first: dict, second):
+        self.first = first
+        self.second = second
+
+    def __getitem__(self, nm):
+        if nm in self.first:
+            return self.first[nm]
+        return self.second[nm]
+
+    def __setitem__(self, nm, v):
+        self.first[nm] = v
+
+    def __contains__(self, nm):
+        return nm in self.first or nm in self.second
+
+    def keys(self):
+        return list(self.first.keys()) + [k_ for k_ in self.second.keys()
+                                          if k_ not in self.first]
+
+
+# threshold above which keygen keeps fixed columns lazy: materialized
+# uint16 coeffs for n_fixed polys cost n_fixed * n * 32 bytes of HBM
+LAZY_FIXED_BYTES = 2 << 30
+
+
 def keygen(ctx: Context, k: int, srs: SRS | None = None,
            mesh=None, mesh_axis: str = "x") -> ProvingKey:
     """Layout + pk/vk generation; `mesh` runs the commitment MSMs and NTTs
@@ -163,13 +283,10 @@ def _keygen_impl(ctx: Context, k: int, srs: SRS | None = None) -> ProvingKey:
     n_perm = len(layout.perm_columns)
     n_z = -(-n_perm // PERM_CHUNK)
     # logUp folds all lookup columns into one argument of degree
-    # n_lookup + 2; the extended domain grows as the next power of two
-    # (E = 2^ext_log), so 6 columns (degree 8, E = 8) is the practical
-    # budget -- the wrapper circuit's range checks need more than the
-    # 2 columns the app circuits use.
-    assert layout.n_lookup <= 6, "logUp constraint degree budget"
-    max_deg = max(3, layout.n_lookup + 2, PERM_CHUNK + 2)
-    ext_log = max(2, (max_deg - 1).bit_length())
+    # n_lookup + 2 (6-column budget); see keygen.quotient_ext_log
+    from .keygen import quotient_ext_log
+
+    ext_log = quotient_ext_log(layout.n_lookup)
 
     fixed_host = {}
     for i, q in enumerate(layout.q_cols):
@@ -185,16 +302,22 @@ def _keygen_impl(ctx: Context, k: int, srs: SRS | None = None) -> ProvingKey:
 
     from .poly_device import pack_poly
 
+    n_fixed = len(fixed_host) + n_perm
+    lazy = n_fixed * layout.n * 32 > LAZY_FIXED_BYTES
+
     def ingest(name, dev_evals):
         c = commit_evals(srs.g1_lagrange, mont_to_canonical(dev_evals))
         commitments[name] = ops.to_affine_host(c)[0]
-        # uint16 at-rest form: halves pk HBM (see poly_device.pack_poly)
-        fixed_coeffs[name] = pack_poly(evals_to_coeffs(dev_evals, k))
+        if not lazy:
+            # uint16 at-rest form: halves pk HBM (poly_device.pack_poly)
+            fixed_coeffs[name] = pack_poly(evals_to_coeffs(dev_evals, k))
 
     for name, v in fixed_host.items():
         ingest(name, to_device_poly(v))
     for j, s in enumerate(_sigma_values_dev(layout)):
         ingest(f"sigma_{j}", s)
+    if lazy:
+        fixed_coeffs = LazyFixedCoeffs(layout, k)
 
     from ..poly.domain import domain
 
@@ -349,8 +472,8 @@ def _prove_impl(pk: ProvingKey, instances: list[int]) -> bytes:
 
     # fixed columns live as coefficients in the pk; round 2 needs a few
     # of them in evaluation form (transient forward NTTs)
-    table_ev = coeffs_to_evals(pk.fixed_coeffs["table"], k)
-    const_ev = coeffs_to_evals(pk.fixed_coeffs["const"], k)
+    table_ev = _fixed_evals(pk, "table")
+    const_ev = _fixed_evals(pk, "const")
 
     if layout.n_lookup:
         h_dev, h_closure = compute_h_dev(
@@ -373,8 +496,7 @@ def _prove_impl(pk: ProvingKey, instances: list[int]) -> bytes:
         return inst_dev
 
     z_devs, z_closure = compute_z_dev(
-        layout, col_loader,
-        lambda j: coeffs_to_evals(pk.fixed_coeffs[f"sigma_{j}"], k),
+        layout, col_loader, lambda j: _fixed_evals(pk, f"sigma_{j}"),
         beta, gamma)
     # blind Z: rows (usable, n) are unconstrained (the permutation terms
     # are active-masked; l_0/l_u pin rows 0 and usable only)
@@ -411,7 +533,9 @@ def _prove_impl(pk: ProvingKey, instances: list[int]) -> bytes:
     coeffs["h"] = pack_poly(evals_to_coeffs(h_dev, k))
     coeffs["instance"] = pack_poly(evals_to_coeffs(inst_dev, k))
     del m_dev, h_dev, inst_dev
-    coeffs.update(pk.fixed_coeffs)
+    # fixed columns join through a chain view: with a LazyFixedCoeffs
+    # provider they are rebuilt at each point of use instead of residing
+    coeffs = _ChainCoeffs(coeffs, pk.fixed_coeffs)
 
     # -- round 3: quotient (streamed per extension coset) ---------------------
     t_chunk_coeffs = _quotient(pk, coeffs, beta_lk, beta, gamma, y)
@@ -426,7 +550,7 @@ def _prove_impl(pk: ProvingKey, instances: list[int]) -> bytes:
     eval_points = _eval_points(x, omega, pk.vk.usable)
     queries = _query_plan(pk.vk, len(t_chunk_coeffs))
 
-    all_coeffs = dict(coeffs)
+    all_coeffs = coeffs  # chain view; "t" lands in the witness dict
     # combined quotient: t = sum_i xn^i t_i (the only t poly opened; its
     # eval is derived by the verifier, see _query_plan)
     xn = pow(x, n, P)
@@ -440,16 +564,22 @@ def _prove_impl(pk: ProvingKey, instances: list[int]) -> bytes:
     del t_chunk_coeffs
 
     stacked_names = sorted(all_coeffs.keys())
-    poly_list = [all_coeffs[nm] for nm in stacked_names]
+    pts_active = [ptn for ptn in POINT_NAMES
+                  if any(pt == ptn for _, pt in queries)]
 
+    # chunked: 16 polys at a time (never the whole ~140-poly set -- with
+    # a lazy fixed provider each batch is rebuilt once and evaluated at
+    # every active point before being freed)
     evals = {}
-    for pt_name in POINT_NAMES:
-        if not any(pt == pt_name for _, pt in queries):
-            continue
-        vals = eval_coeffs_list(poly_list, eval_points[pt_name], k)
-        for nm, v in zip(stacked_names, vals):
-            evals[(nm, pt_name)] = v
-    del poly_list
+    EV_CHUNK = 16
+    for i0 in range(0, len(stacked_names), EV_CHUNK):
+        batch = stacked_names[i0 : i0 + EV_CHUNK]
+        polys = [all_coeffs[nm] for nm in batch]
+        for pt_name in pts_active:
+            vals = eval_coeffs_list(polys, eval_points[pt_name], k)
+            for nm, v in zip(batch, vals):
+                evals[(nm, pt_name)] = v
+        del polys
 
     for nm, pt in sorted(queries):
         if nm in ("instance", "t"):
@@ -475,12 +605,22 @@ def _prove_impl(pk: ProvingKey, instances: list[int]) -> bytes:
             coefs.append(coef)
             comb_eval = (comb_eval + coef * evals[(nm, pt_name)]) % P
             coef = coef * v_ch % P
-        comb_coeffs = rlc_list([all_coeffs[nm] for nm in names], coefs, k)
+        comb_coeffs = None
+        for i0 in range(0, len(names), EV_CHUNK):
+            part = rlc_list([all_coeffs[nm] for nm in names[i0:i0+EV_CHUNK]],
+                            coefs[i0 : i0 + EV_CHUNK], k)
+            comb_coeffs = (part if comb_coeffs is None
+                           else _add_polys_fn()(comb_coeffs, part))
         comb = coeffs_to_evals(comb_coeffs, k)
         w_dev = opening_witness_evals(comb, comb_eval, eval_points[pt_name], k)
         tr.write_point(commit(w_dev))
 
     return tr.proof()
+
+
+@functools.cache
+def _add_polys_fn():
+    return jax.jit(FR.add, donate_argnums=(0,))
 
 
 def _eval_points(x: int, omega: int, usable: int) -> dict:
@@ -726,11 +866,53 @@ def _quotient(pk: ProvingKey, coeffs: dict, beta_lk, beta, gamma, y):
         total = _lagrange_z_term_fn(k, 1)(total, prev_z, lu_dev, y_c)
         t_cosets.append(_zhinv_scale_fn(k)(total, zhinv_m))
 
-    # interleave: ext-domain natural index i = m*E + j <-> coset j, row m
-    t_ext = jnp.stack(t_cosets, axis=1).reshape(n * E, 16)
+    # Per-coset interpolation (replaces the former 2^(k+e_log) full-domain
+    # iNTT): with s_j = g*w_ke^j and zeta = w_ke^n (a primitive E-th
+    # root),  iNTT_n(evals_j)[r] * s_j^{-r} = sum_b (c_{bn+r} g^{nb})
+    # zeta^{jb},  so the e-th coefficient CHUNKS come from E small iNTTs
+    # plus an ExE constant-matrix combine -- no 2^(k+e) twiddle tables
+    # (2+GB of HBM at k=22) and no n*E transient.
+    vs = []
+    for j in range(E):
+        s = g * pow(dome.omega, j, P) % P
+        u = evals_to_coeffs(t_cosets[j], k)
+        vs.append(_mul_rows_fn(k)(u, pow_series(pow(s, -1, P), n)))
     del t_cosets
-    tc = coset_interpolate(t_ext, k, e_log)
-    return [tc[i * n : (i + 1) * n] for i in range(E)]
+    return _chunk_combine_fn(k, e_log)(vs)
+
+
+@functools.cache
+def _mul_rows_fn(k: int):
+    return jax.jit(FR.mul, donate_argnums=(0,))
+
+
+@functools.cache
+def _chunk_combine_fn(k: int, e_log: int):
+    """vs (list of E [n,16]) -> coefficient chunks c_b = sum_j m_bj v_j,
+    m_bj = zeta^{-jb} E^{-1} g^{-nb} (all host constants)."""
+    from ..poly.domain import domain
+
+    n = 1 << k
+    E = 1 << e_log
+    dome = domain(k + e_log)
+    zeta_inv = pow(dome.omega, -n, P)
+    E_inv = pow(E, -1, P)
+    g_n_inv = pow(FR.generator, -n, P)
+    m = [[pow(zeta_inv, j * b, P) * E_inv % P * pow(g_n_inv, b, P) % P
+          for j in range(E)] for b in range(E)]
+    m_np = [[FR.const_np(m[b][j]) for j in range(E)] for b in range(E)]
+
+    def f(vs):
+        out = []
+        for b in range(E):
+            acc = None
+            for j in range(E):
+                term = FR.mul(vs[j], jnp.asarray(m_np[b][j])[None, :])
+                acc = term if acc is None else FR.add(acc, term)
+            out.append(acc)
+        return out
+
+    return jax.jit(f, donate_argnums=(0,))
 
 
 # Streamed quotient term kernels.  Each takes the running Horner

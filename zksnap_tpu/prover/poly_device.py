@@ -163,22 +163,67 @@ def to_device_poly(values):
 
 # -- KZG commitments ---------------------------------------------------------
 
+# Fixed-base commit tables (msm/fixed_base.py): the SRS bases never
+# change per k, so shifted-point tables kill the doubling ladder and the
+# per-window bucket sets.  Bounded cache (a k=20 table is ~2GB of HBM);
+# auto-enabled up to `max_n` points -- the wrapper-width (2^21, ~140
+# resident polys) prover needs its HBM, so larger sizes opt in via
+# configure_fixed_base.
+_FB_STATE = {"enabled": True, "max_n": 1 << 20, "min_n": 1 << 12,
+             "c": 16, "tables": {}, "cap": 3}
+
+
+def configure_fixed_base(enabled: bool | None = None, max_n: int | None = None,
+                         c: int | None = None):
+    """Tune the fixed-base commit path (e.g. enable at 2^21 for the voter
+    prover, disable under tight HBM)."""
+    if enabled is not None:
+        _FB_STATE["enabled"] = enabled
+    if max_n is not None:
+        _FB_STATE["max_n"] = max_n
+    if c is not None:
+        _FB_STATE["c"] = c
+        _FB_STATE["tables"].clear()
+
+
+def _fb_table(points: JacPoint, n: int):
+    from ..msm.fixed_base import build_table
+
+    key = (id(points.x), n, _FB_STATE["c"])
+    entry = _FB_STATE["tables"].get(key)
+    if entry is None:
+        if len(_FB_STATE["tables"]) >= _FB_STATE["cap"]:
+            _FB_STATE["tables"].pop(next(iter(_FB_STATE["tables"])))
+        # keep a strong ref to the source buffer: the cache key is its
+        # id(), which must not be recycled by the GC for other points
+        entry = (build_table(points, n, _FB_STATE["c"]), points.x)
+        _FB_STATE["tables"][key] = entry
+    return entry[0]
+
+
 def commit_evals(srs_lagrange: JacPoint, values):
     """Commit an evaluation-form poly: MSM(values, [L_i(tau)]G).
 
     values: [n, 16] CANONICAL (non-Montgomery) scalar limbs.
     Runs the MSM on RCB complete projective coordinates (curves/proj.py)
     and converts the single result point back to Jacobian, so callers'
-    `bn254_ops().to_affine_host` contract is unchanged.
+    `bn254_ops().to_affine_host` contract is unchanged.  Single-device
+    commits in [min_n, max_n] take the fixed-base precomputed-table path
+    (see _FB_STATE above).
     """
     n = values.shape[0]
+    sh = _mesh_for(n)
+    if (sh is None and _FB_STATE["enabled"]
+            and _FB_STATE["min_n"] <= n <= _FB_STATE["max_n"]):
+        from ..msm.fixed_base import commit_fixed
+
+        return commit_fixed(_fb_table(srs_lagrange, n), values)
     # floor c at 8: windows = ceil(254/c), and the traced Pippenger graph
     # (digit extraction, bucket ids, reductions) scales with the window
     # count -- c=4 at tiny n meant a 64-window graph whose XLA compile
     # dominated the k=7 pipeline cold-start (multichip dryrun budget)
     c = max(8, min(16, n.bit_length() - 4))
     n_windows = -(-254 // c)
-    sh = _mesh_for(n)
     if sh is not None:
         return _commit_sharded_jit(n, c, n_windows, sh[0], sh[1])(
             srs_lagrange.x, srs_lagrange.y, srs_lagrange.z, values)

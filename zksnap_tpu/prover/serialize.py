@@ -39,9 +39,14 @@ def save_pk(pk, path: str, strip_witness: bool = False):
     import jax
     import numpy as np
 
+    from .plonk import LazyFixedCoeffs
+
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    fixed_host = {k: np.asarray(jax.device_get(v))
-                  for k, v in pk.fixed_coeffs.items()}
+    if isinstance(pk.fixed_coeffs, LazyFixedCoeffs):
+        fixed_host = pk.fixed_coeffs  # host-backed; pickles directly
+    else:
+        fixed_host = {k: np.asarray(jax.device_get(v))
+                      for k, v in pk.fixed_coeffs.items()}
     layout = pk.layout
     if strip_witness:
         layout = copy.copy(layout)
@@ -57,11 +62,16 @@ def load_pk(path: str):
     from .plonk import ProvingKey
     from .srs import gen_srs
 
+    from .plonk import LazyFixedCoeffs
+
     with open(path, "rb") as f:
         d = pickle.load(f)
     assert d.get("fixed_form") == "coeff", \
         "pk file predates the coefficient-form prover; re-run keygen"
-    fixed = {k: jnp.asarray(v) for k, v in d["fixed"].items()}
+    if isinstance(d["fixed"], LazyFixedCoeffs):
+        fixed = d["fixed"]
+    else:
+        fixed = {k: jnp.asarray(v) for k, v in d["fixed"].items()}
     return ProvingKey(vk=d["vk"], layout=d["layout"], srs=gen_srs(d["srs_k"]),
                       fixed_coeffs=fixed)
 

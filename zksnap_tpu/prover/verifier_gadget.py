@@ -277,11 +277,32 @@ def succinct_verify_gadget(
     lagranges = (_lagrange_points(vk.k, vk.num_instance)
                  if vk.num_instance else ())
 
-    lhs_pairs: list = []
-    rhs_pairs: list = []
+    # Scalars are AGGREGATED per unique base before the MSM: a commitment
+    # opened at several points (advice: x, wx, w2x, w3x; z: x, wx, wux)
+    # previously entered the MSM once per query -- at ~290k trace cells
+    # per in-circuit MSM term that multiplied the wrapper's cell count
+    # >2x and made the k=21 self-shape solve diverge (r5).  Summing the
+    # Fr scalars first (a few cells each) is the same group element;
+    # snark-verifier's query-map collapse does the identical thing.
+    agg: dict = {}  # base key -> [scalar_cell, base]
+
+    def add_pair(scal: Cell, base):
+        if isinstance(base, AffinePoint):
+            if base.is_identity():
+                return  # contributes nothing
+            key = (base.x, base.y)
+        else:
+            key = id(base)  # witnessed point: object identity
+        e = agg.get(key)
+        if e is None:
+            agg[key] = [scal, base]
+        else:
+            e[0] = ctx.add(e[0], scal)
+
     u_pow: Cell | None = None  # None == 1 (first set)
     one = ctx.load_constant(1)
     e_total = ctx.load_constant(0)  # sum_sets u_pow * e_acc (single -G pair)
+    rhs_pairs: list = []
     for pt_name in POINT_NAMES:
         names = by_point.get(pt_name)
         if not names:
@@ -297,28 +318,25 @@ def succinct_verify_gadget(
                 for j, c in enumerate(instance_cells):
                     base = lagranges[j]
                     if not base.is_identity():
-                        lhs_pairs.append((ctx.mul(scal, c), base))
+                        add_pair(ctx.mul(scal, c), base)
             elif nm == "t":
                 # combined quotient commitment sum_i xn^i [t_i], expanded
                 # into E MSM pairs instead of pre-combining
                 xp: Cell | None = None  # None == 1
                 for i in range(E):
                     s_i = scal if xp is None else ctx.mul(scal, xp)
-                    lhs_pairs.append((s_i, comm[f"t_{i}"]))
+                    add_pair(s_i, comm[f"t_{i}"])
                     xp = xn if xp is None else ctx.mul(xp, xn)
             else:
-                base = comm[nm]
-                if isinstance(base, AffinePoint) and base.is_identity():
-                    pass  # identity base contributes nothing
-                else:
-                    lhs_pairs.append((scal, base))
+                add_pair(scal, comm[nm])
             coef = v_ch if coef is None else ctx.mul(coef, v_ch)
         w_pt = w_comms[pt_name]
-        lhs_pairs.append((ctx.mul(up, eval_pt[pt_name]), w_pt))
+        add_pair(ctx.mul(up, eval_pt[pt_name]), w_pt)
         e_total = ctx.mul_add(up, e_acc, e_total)
         rhs_pairs.append((up, w_pt))
         u_pow = u_ch if u_pow is None else ctx.mul(u_pow, u_ch)
-    lhs_pairs.append((e_total, neg_gen))
+    add_pair(e_total, neg_gen)
+    lhs_pairs = [(s, b) for s, b in agg.values()]
 
     # naming per accumulator.py: acc.lhs pairs with [tau]G2 (the W sum),
     # acc.rhs pairs with G2 (the F + zW - eG combination)

@@ -27,7 +27,7 @@ import numpy as np
 
 from ..fields.common import N_LIMBS
 from ..fields.field import bn254_fr
-from .keygen import PERM_CHUNK, layout_circuit
+from .keygen import PERM_CHUNK, layout_circuit, quotient_ext_log
 
 FR = bn254_fr()
 
@@ -58,8 +58,7 @@ def warm_prove(ctx, k: int, mesh=None, mesh_axis: str = "x",
     n = 1 << k
     n_perm = len(layout.perm_columns)
     n_z = -(-n_perm // PERM_CHUNK)
-    max_deg = max(3, layout.n_lookup + 2, PERM_CHUNK + 2)
-    e_log = max(2, (max_deg - 1).bit_length())
+    e_log = quotient_ext_log(layout.n_lookup)
     E = 1 << e_log
 
     names = (
@@ -117,7 +116,9 @@ def warm_prove(ctx, k: int, mesh=None, mesh_axis: str = "x",
         pd._pack_fn()(x)
 
     def w_interp():
-        pd.coset_interpolate(_dummy(n * E), k, e_log)
+        # per-coset chunk interpolation (plonk._quotient tail)
+        plonk._mul_rows_fn(k)(_dummy(n), _dummy(n))
+        plonk._chunk_combine_fn(k, e_log)([_dummy(n) for _ in range(E)])
 
     def w_h():
         if layout.n_lookup:
@@ -158,14 +159,20 @@ def warm_prove(ctx, k: int, mesh=None, mesh_axis: str = "x",
 
     def w_evals():
         pd._pow_table_traced_fn(k)(_scalar())
-        pd._eval_coeffs_list_fn(k, len(names) + 1)(
-            [_dummy16(n)] * (len(names) + 1), _dummy(n))
+        # round 4 runs in 16-poly chunks; warm the full chunk + remainder
+        total = len(names) + 1
+        for sz in sorted({min(16, total), total % 16 or 16}):
+            pd._eval_coeffs_list_fn(k, sz)([_dummy16(n)] * sz, _dummy(n))
 
     def w_rlc():
         pd.rlc_list([_dummy(n)] * E, list(range(1, E + 1)), k)
+        sizes = set()
         for pt_names in by_point.values():
-            pd.rlc_list([_dummy16(n)] * len(pt_names),
-                        list(range(1, len(pt_names) + 1)), k)
+            s = len(pt_names)
+            sizes.add(min(16, s))
+            sizes.add(s % 16 or 16)
+        for sz in sorted(sizes):
+            pd.rlc_list([_dummy16(n)] * sz, list(range(1, sz + 1)), k)
 
     def w_open():
         pd.opening_witness_evals(_dummy(n), 3, 5, k)
