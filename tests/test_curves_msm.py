@@ -89,3 +89,35 @@ def test_msm_with_zero_scalars_and_duplicates(rng):
     P = ops.from_affine_host(pts)
     out = bn254_msm()(P, jnp.asarray(ints_to_limbs(scalars)), c=5)
     assert ops.to_affine_host(out) == [want]
+
+
+def test_fixed_base_commit_matches_variable_base(rng):
+    """The fixed-base shifted-table commit path (msm/fixed_base.py) must
+    produce the same group element as the variable-base Pippenger the
+    commit API otherwise uses."""
+    import jax.numpy as jnp
+
+    from zksnap_tpu.curves.jacobian import bn254_ops
+    from zksnap_tpu.curves.native import AffinePoint, BN254_G1
+    from zksnap_tpu.fields.common import ints_to_limbs
+    from zksnap_tpu.prover.poly_device import (
+        commit_evals,
+        configure_fixed_base,
+    )
+
+    n = 4096
+    ops = bn254_ops()
+    g = AffinePoint.generator(BN254_G1)
+    pts = ops.from_affine_host(
+        [rng.randrange(1, BN254_G1.n) * g for _ in range(64)] * (n // 64))
+    scalars = [rng.randrange(BN254_G1.n) for _ in range(n)]
+    scalars[0] = 0  # zero-digit bucket path
+    sc = jnp.asarray(ints_to_limbs(scalars))
+    try:
+        configure_fixed_base(enabled=True)
+        fb = ops.to_affine_host(commit_evals(pts, sc))[0]
+        configure_fixed_base(enabled=False)
+        vb = ops.to_affine_host(commit_evals(pts, sc))[0]
+    finally:
+        configure_fixed_base(enabled=True)
+    assert fb == vb

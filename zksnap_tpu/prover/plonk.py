@@ -802,7 +802,7 @@ def _quotient(pk: ProvingKey, coeffs: dict, beta_lk, beta, gamma, y):
     and the frozen protocol vectors still verify.  Takes/returns
     COEFFICIENT form: coeffs dict in, list of E t-chunk tensors out."""
     from ..poly.domain import domain
-    from .poly_device import coset_evals, pow_series
+    from .poly_device import coset_evals, pow_series, pow_series_uncached
 
     layout, vk = pk.layout, pk.vk
     k, n = layout.k, layout.n
@@ -825,7 +825,7 @@ def _quotient(pk: ProvingKey, coeffs: dict, beta_lk, beta, gamma, y):
     t_cosets = []
     for j in range(E):
         s = g * pow(dome.omega, j, P) % P
-        s_pows = pow_series(s, n)  # cached: s depends only on (k, e_log, j)
+        s_pows = pow_series_uncached(s, n)  # freed after this coset
         s_m, zh_m, zhinv_m, wu_m = (
             jnp.asarray(v) for v in _coset_scalars(k, e_log, j, vk.usable))
         x_dev, l0_dev, lu_dev = _coset_tables_fn(k)(omega_pows, s_m, zh_m,
@@ -876,7 +876,7 @@ def _quotient(pk: ProvingKey, coeffs: dict, beta_lk, beta, gamma, y):
     for j in range(E):
         s = g * pow(dome.omega, j, P) % P
         u = evals_to_coeffs(t_cosets[j], k)
-        vs.append(_mul_rows_fn(k)(u, pow_series(pow(s, -1, P), n)))
+        vs.append(_mul_rows_fn(k)(u, pow_series_uncached(pow(s, -1, P), n)))
     del t_cosets
     return _chunk_combine_fn(k, e_log)(vs)
 

@@ -81,14 +81,16 @@ def _mesh_for(n: int):
     return mesh, axis
 
 
-@functools.cache
-def pow_series(base_int: int, n: int):
+def pow_series_uncached(base_int: int, n: int):
     """Device [n,16] Montgomery table of base^i via log-depth doubling.
 
     Replaces O(n) host `pow(base, i, p)` loops (each a ~k-squaring modexp
     plus an int->limb conversion) with ~log2(n) full-width device muls --
-    the difference between hours and milliseconds at wrapper scale
-    (k=21, ne=2^24 tables).
+    the difference between hours and milliseconds at wrapper scale.
+
+    UNCACHED: use for per-coset tables whose lifetime is one quotient
+    coset (the cached variant would pin 16 x n x 64B of HBM across the
+    8 cosets' s / s^-1 tables -- 4.3GB at k=22).
     """
     size = max(1, 1 << (n - 1).bit_length())
     arr = jnp.asarray(FR.one)[None, :]
@@ -98,6 +100,13 @@ def pow_series(base_int: int, n: int):
         arr = jnp.concatenate([arr, FR.mul(arr, step[None, :])])
         length *= 2
     return arr[:n]
+
+
+@functools.cache
+def pow_series(base_int: int, n: int):
+    """Cached `pow_series_uncached` -- for long-lived tables (omega
+    powers, generator powers) reused across every proof."""
+    return pow_series_uncached(base_int, n)
 
 
 # -- uint16 at-rest packing ---------------------------------------------------
