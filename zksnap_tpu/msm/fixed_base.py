@@ -52,20 +52,30 @@ def _build_table_fn(ops_key, n: int, c: int, n_windows: int):
 
     def f(px, py, pz):
         """[n] affine-or-id points -> ([W*n,16] x, [W*n,16] y) affine
-        table rows (identity encoded x=y=0, matching from_affine_host)."""
+        table rows (identity encoded x=y=0, matching from_affine_host).
+
+        The (W-1)*c sequential doublings run as a lax.scan over windows
+        with a fori_loop body -- an UNROLLED chain was a ~3000-field-mul
+        traced graph whose far-side compile can wedge the TPU relay
+        (.claude/skills/verify/SKILL.md kernel-size caveat)."""
         Fq = ops.F
-        cur = JacPoint(px, py, pz)
-        xs, ys, zs = [], [], []
-        for w in range(n_windows):
-            xs.append(cur.x)
-            ys.append(cur.y)
-            zs.append(cur.z)
-            if w + 1 < n_windows:
-                for _ in range(c):
-                    cur = ops.double(cur)
-        X = jnp.concatenate(xs)
-        Y = jnp.concatenate(ys)
-        Z = jnp.concatenate(zs)
+
+        def dbl_c(t):
+            def body(_, s):
+                d = ops.double(JacPoint(*s))
+                return (d.x, d.y, d.z)
+
+            return jax.lax.fori_loop(0, c, body, t)
+
+        def step(carry, _):
+            nxt = dbl_c(carry)
+            return nxt, carry
+
+        _, (xs, ys, zs) = jax.lax.scan(
+            step, (px, py, pz), None, length=n_windows)
+        X = xs.reshape(n_windows * n, 16)
+        Y = ys.reshape(n_windows * n, 16)
+        Z = zs.reshape(n_windows * n, 16)
         # projective normalize: (x/z, y/z, 1), identity (z==0) -> (0,0,0)
         zero = (Z == 0).all(axis=-1, keepdims=True)
         zinv = Fq.batch_inv(jnp.where(zero, jnp.asarray(Fq.one), Z))
