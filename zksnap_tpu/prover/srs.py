@@ -84,9 +84,26 @@ def gen_srs(k: int, seed: bytes = b"dev") -> SRS:
 
         from ..fields.common import ints_to_limbs
 
+        CHUNK = 1 << 20  # the 2^22-point scalar-mul kernel faults the
+        # TPU worker (observed twice at k=22); 2^20..2^21 slabs are known
+        # good, and chunking also bounds the bit-matrix transient (4.3GB
+        # at 2^22)
+
         def powers_to_points(scalars_int: list[int]) -> JacPoint:
-            arr = jnp.asarray(ints_to_limbs(scalars_int))  # canonical limbs
-            return batched_mul(arr)
+            if len(scalars_int) <= CHUNK:
+                arr = jnp.asarray(ints_to_limbs(scalars_int))
+                return batched_mul(arr)
+            parts = []
+            for s in range(0, len(scalars_int), CHUNK):
+                arr = jnp.asarray(ints_to_limbs(scalars_int[s : s + CHUNK]))
+                p_ = batched_mul(arr)
+                parts.append(JacPoint(np.asarray(jax.device_get(p_.x)),
+                                      np.asarray(jax.device_get(p_.y)),
+                                      np.asarray(jax.device_get(p_.z))))
+            return JacPoint(
+                jnp.asarray(np.concatenate([p_.x for p_ in parts])),
+                jnp.asarray(np.concatenate([p_.y for p_ in parts])),
+                jnp.asarray(np.concatenate([p_.z for p_ in parts])))
 
         # monomial powers tau^i (host: n small muls)
         taus = [1] * n
@@ -133,9 +150,25 @@ def gen_srs(k: int, seed: bytes = b"dev") -> SRS:
     # coordinate MSM reinterprets the same limbs as homogeneous (x:y:z) --
     # unnormalized Jacobian z would silently change the point.  Applied on
     # the cache-load path too so stale unnormalized caches self-heal.
-    g1 = ops.normalize(g1)
-    g1_lag = ops.normalize(g1_lag)
+    # Chunked at 2^21: single 2^22-row point kernels fault the TPU worker.
+    g1 = _normalize_chunked(ops, g1)
+    g1_lag = _normalize_chunked(ops, g1_lag)
     return SRS(k, g1, g1_lag, tau_g2, pr.G2_GEN)
+
+
+def _normalize_chunked(ops, pts: JacPoint, chunk: int = 1 << 21) -> JacPoint:
+    n = pts.x.shape[0]
+    if n <= chunk:
+        return ops.normalize(pts)
+    parts = []
+    for s in range(0, n, chunk):
+        p_ = ops.normalize(JacPoint(pts.x[s : s + chunk],
+                                    pts.y[s : s + chunk],
+                                    pts.z[s : s + chunk]))
+        parts.append(p_)
+    return JacPoint(jnp.concatenate([p_.x for p_ in parts]),
+                    jnp.concatenate([p_.y for p_ in parts]),
+                    jnp.concatenate([p_.z for p_ in parts]))
 
 
 # ---------------------------------------------------------------------------
