@@ -91,6 +91,7 @@ def test_msm_with_zero_scalars_and_duplicates(rng):
     assert ops.to_affine_host(out) == [want]
 
 
+@pytest.mark.slow
 def test_fixed_base_commit_matches_variable_base(rng):
     """The fixed-base shifted-table commit path (msm/fixed_base.py) must
     produce the same group element as the variable-base Pippenger the
