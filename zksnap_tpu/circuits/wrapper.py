@@ -571,7 +571,7 @@ def _cfg_fingerprint(cfg: WrapperConfig) -> str:
                      + y.to_bytes(32, "little"))
         return h.hexdigest()
 
-    key = (f"v2|k={cfg.k}|lb={cfg.lookup_bits}|np={cfg.n_payload}"
+    key = (f"v3|k={cfg.k}|lb={cfg.lookup_bits}|np={cfg.n_payload}"
            f"|w={cfg.msm_window}|tr={cfg.msm_unsound_truncate}"
            f"|lk={cfg.linkage.__name__}"
            f"|voter={vk_fp(cfg.voter_vk)}|state={vk_fp(cfg.state_vk)}")

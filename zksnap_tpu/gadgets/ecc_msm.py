@@ -46,6 +46,38 @@ WINDOW = 4
 N_BITS = 254  # ceil(log2(Fr)); Fr-order decomposition is group-order safe
 N_WINDOWS = -(-N_BITS // WINDOW)
 
+import functools as _functools
+import hashlib as _hashlib
+
+
+@_functools.cache
+def _offset_base() -> AffinePoint:
+    """Nothing-up-my-sleeve point H with UNKNOWN discrete log wrt G
+    (try-and-increment on sha256), used for the incomplete-add collision
+    offsets.
+
+    The offsets were (2i+3)*G; but MSM inputs are often G-multiples with
+    SMALL known coefficients (the wrapper's round-0 fold carries the
+    default accumulator (G, tau*G) twice, and the constant-1 fold scalar
+    has digit 0 in every window but the first), so the accumulator could
+    stay inside the small-multiples-of-G lattice and hit an exact
+    x-collision with a table entry -- observed with ~few-% probability
+    per proof at k=22 round 0 ("lazy identity violated").  With offsets
+    on H, the running H-coefficient of the accumulator is deterministic
+    and never matches a table entry's, so point equality would need the
+    unknown dlog -- completeness holds except with negligible probability
+    for ANY input points in the G-lattice."""
+    ctr = 0
+    while True:
+        x = int.from_bytes(_hashlib.sha256(
+            b"zksnap-tpu-msm-offset-h" + ctr.to_bytes(4, "little")).digest(),
+            "big") % Q
+        rhs = (x * x * x + BN254_G1.b) % Q
+        y = pow(rhs, (Q + 1) // 4, Q)
+        if y * y % Q == rhs:
+            return AffinePoint(BN254_G1, x, min(y, Q - y))
+        ctr += 1
+
 
 @dataclass
 class LazyPoint:
@@ -247,7 +279,7 @@ class MsmGadget:
         (tests only; production callers use the full width).
         """
         ctx = self.ctx
-        gen = AffinePoint.generator(BN254_G1)
+        gen = _offset_base()  # H: unknown dlog wrt G (see _offset_base)
         W = self.window
         if self.unsound_truncate_bits is not None:
             # TEST-ONLY: swap scalars for unbound truncated witnesses
